@@ -1,0 +1,128 @@
+"""The physics engine: state pytree + substep/rollout, batched over envs.
+
+Replaces the reference's inner hot loop (decimation x [PD torque ->
+gym.simulate -> refresh], /root/reference/humanoid/envs/custom/
+humanoid_env.py:639-649) with a lax.scan of pure substeps; the whole thing
+lives inside jit and is vmapped over the env axis, so 4096 robots are one
+fused XLA computation and state never leaves the device.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .contact import ContactInfo, ContactParams, Terrain, contact_forces
+from .dynamics import compute_dynamics, forward_accel
+from .model import RobotModel
+from .spatial import quat_integrate
+
+
+class PhysState(NamedTuple):
+    """Dynamic state of one robot (vmapped to (N, ...) by the env layer)."""
+    base_pos: jnp.ndarray   # (3,)
+    base_quat: jnp.ndarray  # (4,) wxyz
+    qj: jnp.ndarray         # (nj,) joint positions
+    u: jnp.ndarray          # (nv,) [omega_world, v_world, qdot]
+
+    @property
+    def omega(self):
+        return self.u[..., 0:3]
+
+    @property
+    def vel(self):
+        return self.u[..., 3:6]
+
+    @property
+    def qd(self):
+        return self.u[..., 6:]
+
+
+class PhysDiag(NamedTuple):
+    """Per-control-step diagnostics (from the final substep) that the env
+    layer turns into rewards/observations — the analogue of Isaac's
+    refreshed state tensors (rigid_body/contact buffers)."""
+    body_pos: jnp.ndarray      # (nb,3)
+    body_quat: jnp.ndarray     # (nb,4)
+    body_omega: jnp.ndarray    # (nb,3) world angular velocities
+    foot_forces: jnp.ndarray   # (n_feet,3) net contact force per foot
+    term_force: jnp.ndarray    # (nt,) contact normal force on termination proxies
+    tau: jnp.ndarray           # (nj,) applied joint torques (last substep)
+
+
+class EnvPhysParams(NamedTuple):
+    """Per-env domain-randomized physics parameters (batched leaves)."""
+    masses: jnp.ndarray     # (nb,) body masses (base row randomized)
+    friction: jnp.ndarray   # () ground friction coefficient
+
+
+def default_phys_params(model: RobotModel) -> EnvPhysParams:
+    return EnvPhysParams(
+        masses=jnp.asarray(model.mass), friction=jnp.asarray(1.0)
+    )
+
+
+def substep(
+    model: RobotModel,
+    params: EnvPhysParams,
+    terrain: Terrain,
+    contact_params: ContactParams,
+    state: PhysState,
+    tau_j: jnp.ndarray,
+    dt: float,
+) -> Tuple[PhysState, PhysDiag]:
+    """One semi-implicit Euler step at the sim rate (1 kHz)."""
+    cache = compute_dynamics(
+        model, state.base_pos, state.base_quat, state.qj, state.u,
+        mass=params.masses,
+    )
+    ci: ContactInfo = contact_forces(
+        model, cache.body_pos, cache.body_quat, cache.v_sp, terrain,
+        params.friction, contact_params,
+    )
+    tau_gen = jnp.concatenate([jnp.zeros(6), tau_j]) + ci.tau_gen
+    udot = forward_accel(cache, tau_gen, state.u)
+    u_new = state.u + dt * udot
+    new_state = PhysState(
+        base_pos=state.base_pos + dt * u_new[3:6],
+        base_quat=quat_integrate(state.base_quat, u_new[0:3], dt),
+        qj=state.qj + dt * u_new[6:],
+        u=u_new,
+    )
+    n_feet = len(model.foot_bodies)
+    foot_forces = ci.point_forces.reshape(n_feet, -1, 3).sum(axis=1)
+    diag = PhysDiag(
+        body_pos=cache.body_pos,
+        body_quat=cache.body_quat,
+        body_omega=cache.v_sp[:, 0:3],
+        foot_forces=foot_forces,
+        term_force=ci.term_force,
+        tau=tau_j,
+    )
+    return new_state, diag
+
+
+def control_step(
+    model: RobotModel,
+    params: EnvPhysParams,
+    terrain: Terrain,
+    contact_params: ContactParams,
+    state: PhysState,
+    torque_fn: Callable[[PhysState], jnp.ndarray],
+    decimation: int,
+    dt: float,
+) -> Tuple[PhysState, PhysDiag]:
+    """One policy-rate step = `decimation` physics substeps with the PD
+    torque recomputed every substep (reference humanoid_env.py:639-649)."""
+
+    def body(s, _):
+        tau = torque_fn(s)
+        s2, diag = substep(
+            model, params, terrain, contact_params, s, tau, dt
+        )
+        return s2, diag
+
+    state, diags = jax.lax.scan(body, state, None, length=decimation)
+    last = jax.tree.map(lambda x: x[-1], diags)
+    return state, last

@@ -56,13 +56,18 @@ class RobotModel:
     # collision model: named body sets + foot geometry
     foot_bodies: Tuple[int, ...]      # body indices whose name contains foot_name
     knee_bodies: Tuple[int, ...]
-    foot_box_size: np.ndarray         # (3,) collision box of the foot link
-    foot_box_offset: np.ndarray       # (3,) box center in the foot link frame
+    foot_box_size: np.ndarray         # (3,) foot collision bbox (link frame)
+    foot_box_offset: np.ndarray       # (3,) bbox center in the foot link frame
+    foot_corners: np.ndarray          # (n_feet, 4, 3) sole corners, link frame
     # proxy collision spheres for termination/collision bodies (base etc.):
     # (body_index, offset_xyz, radius) rows
     term_sphere_body: np.ndarray      # (nt,) int
     term_sphere_offset: np.ndarray    # (nt, 3)
     term_sphere_radius: np.ndarray    # (nt,)
+
+    # world orientation of every body at the zero pose (identity base), used
+    # to orient collision geometry whose link frames are not world-aligned
+    body_zero_rot: np.ndarray  # (nb, 3, 3)
 
     gravity: float = -9.81
 
@@ -71,24 +76,15 @@ class RobotModel:
         return float(self.mass.sum())
 
     def contact_points(self) -> Tuple[np.ndarray, np.ndarray]:
-        """Foot contact point set: 4 bottom corners of each foot box.
+        """Foot contact point set: 4 sole corners per foot, derived at
+        compile time from the foot link's collision-mesh bbox face that
+        points world-down at the zero pose (urdf.py).
 
         Returns (body_idx (P,), offsets (P,3)) in the foot link frame."""
-        sx, sy, sz = self.foot_box_size
-        corners = np.array(
-            [
-                [sx / 2, sy / 2, -sz / 2],
-                [sx / 2, -sy / 2, -sz / 2],
-                [-sx / 2, sy / 2, -sz / 2],
-                [-sx / 2, -sy / 2, -sz / 2],
-            ]
-        ) + self.foot_box_offset
-        bodies = []
-        offs = []
-        for b in self.foot_bodies:
-            bodies.extend([b] * 4)
-            offs.append(corners)
-        return np.array(bodies, dtype=np.int32), np.concatenate(offs, axis=0)
+        bodies = np.repeat(
+            np.array(self.foot_bodies, dtype=np.int32), 4
+        )
+        return bodies, self.foot_corners.reshape(-1, 3)
 
     def ancestor_matrix(self) -> np.ndarray:
         """(nb, nj) 1.0 where joint j is on the path base->body b."""

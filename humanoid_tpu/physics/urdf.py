@@ -10,6 +10,7 @@ arrays feed straight into the jitted dynamics.
 """
 from __future__ import annotations
 
+import os
 import xml.etree.ElementTree as ET
 from typing import Dict, List, Optional, Sequence
 
@@ -65,6 +66,14 @@ class _Link:
                     origin.get("xyz") if origin is not None else None
                 )
                 break
+        # mesh filename (collision preferred, else visual) for bbox-derived
+        # contact geometry
+        self.mesh_file = None
+        for tag in ("collision", "visual"):
+            for el2 in el.findall(tag):
+                mesh = el2.find("geometry/mesh")
+                if mesh is not None and self.mesh_file is None:
+                    self.mesh_file = mesh.get("filename")
 
 
 class _Joint:
@@ -92,6 +101,27 @@ class _Joint:
     @property
     def rot(self) -> np.ndarray:
         return _rpy_to_mat(self.rpy)
+
+
+def _stl_bounds(path: str):
+    """Axis-aligned bounding box of an STL mesh (binary or ASCII)."""
+    import struct
+
+    with open(path, "rb") as f:
+        header = f.read(80)
+        rest = f.read()
+    if header[:5] == b"solid" and b"facet" in rest[:200]:
+        verts = []
+        for line in rest.decode("ascii", "ignore").splitlines():
+            t = line.split()
+            if t[:1] == ["vertex"]:
+                verts.append([float(x) for x in t[1:4]])
+        v = np.array(verts)
+    else:
+        n = struct.unpack("<I", rest[:4])[0]
+        data = np.frombuffer(rest[4 : 4 + n * 50], dtype=np.uint8)
+        v = data.reshape(n, 50)[:, 12:48].copy().view("<f4").reshape(-1, 3)
+    return v.min(axis=0), v.max(axis=0)
 
 
 def load_urdf(
@@ -201,19 +231,54 @@ def load_urdf(
             f"joint_order not topological at {movable[k].name}"
         )
 
+    # zero-pose world orientations (base identity, all q = 0)
+    body_zero_rot = np.zeros((nb, 3, 3))
+    body_zero_rot[0] = np.eye(3)
+    for k in range(nj):
+        body_zero_rot[k + 1] = body_zero_rot[parent[k + 1]] @ joint_rot[k]
+
     foot_bodies = tuple(
         i for i, n in enumerate(body_names) if foot_name in n
     )
     knee_bodies = tuple(i for i, n in enumerate(body_names) if knee_name in n)
-    foot_link = links[body_names[foot_bodies[0]]] if foot_bodies else None
-    foot_box_size = (
-        foot_link.box_size if foot_link is not None and foot_link.box_size is not None
-        else np.array([0.16, 0.07, 0.02])
-    )
-    foot_box_offset = (
-        foot_link.box_offset if foot_link is not None and foot_link.box_offset is not None
-        else np.zeros(3)
-    )
+
+    # Foot collision geometry: bounding box of the foot link's mesh (the
+    # XBot URDF's hand-written foot box is degenerate — 2 cm fore-aft — while
+    # MuJoCo, the sim2sim oracle, collides the actual mesh whose sole is
+    # 5.6 cm below the ankle_roll frame). Contact points = 4 corners of the
+    # bbox face that points world-down at the zero pose.
+    foot_box_size = np.array([0.16, 0.07, 0.02])
+    foot_box_offset = np.zeros(3)
+    foot_corners = np.zeros((len(foot_bodies), 4, 3))
+    for fi, fb in enumerate(foot_bodies):
+        link = links[body_names[fb]]
+        lo, hi = None, None
+        if link.mesh_file is not None:
+            mesh_path = os.path.normpath(
+                os.path.join(os.path.dirname(path), link.mesh_file)
+            )
+            if os.path.exists(mesh_path):
+                lo, hi = _stl_bounds(mesh_path)
+        if lo is None and link.box_size is not None:
+            lo = link.box_offset - link.box_size / 2
+            hi = link.box_offset + link.box_size / 2
+        assert lo is not None, f"no collision geometry for {body_names[fb]}"
+        foot_box_size = hi - lo
+        foot_box_offset = (hi + lo) / 2
+        # link-frame direction pointing world-down at zero pose; the sole is
+        # the bbox face maximizing p . down
+        down = body_zero_rot[fb].T @ np.array([0.0, 0.0, -1.0])
+        ax = int(np.argmax(np.abs(down)))
+        others = [a for a in range(3) if a != ax]
+        corners = []
+        for s0 in (lo[others[0]], hi[others[0]]):
+            for s1 in (lo[others[1]], hi[others[1]]):
+                c = np.zeros(3)
+                c[ax] = hi[ax] if down[ax] > 0 else lo[ax]
+                c[others[0]] = s0
+                c[others[1]] = s1
+                corners.append(c)
+        foot_corners[fi] = np.array(corners)
 
     # termination proxy spheres from the named bodies' collision boxes
     ts_body, ts_off, ts_rad = [], [], []
@@ -253,7 +318,9 @@ def load_urdf(
         knee_bodies=knee_bodies,
         foot_box_size=np.asarray(foot_box_size),
         foot_box_offset=np.asarray(foot_box_offset),
+        foot_corners=foot_corners,
         term_sphere_body=np.array(ts_body, dtype=np.int32),
         term_sphere_offset=np.array(ts_off) if ts_off else np.zeros((0, 3)),
         term_sphere_radius=np.array(ts_rad),
+        body_zero_rot=body_zero_rot,
     )
