@@ -1,0 +1,231 @@
+"""On-policy training runner: rollout + GAE + PPO update as ONE jitted
+function per iteration.
+
+Rebuild of OnPolicyRunner.learn (/root/reference/humanoid/algo/ppo/
+on_policy_runner.py:93-182): the reference's Python rollout loop (60
+env.step calls under inference_mode) becomes a lax.scan, so an entire
+training iteration — 60-step rollout, timeout bootstrapping, GAE, 2x4
+minibatch PPO — is a single XLA computation and env state never leaves the
+device (SURVEY.md §7 "key idiomatic moves").
+"""
+from __future__ import annotations
+
+import time
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.structs import XBotLCfgPPO
+from ..env.xbotl import EnvState, XBotLEnv
+from .gae import compute_gae
+from .networks import ActorCritic, init_params, log_prob, sample_action
+from .ppo import Batch, TrainState, UpdateMetrics, init_train_state, ppo_update
+
+
+class IterationCarry(NamedTuple):
+    train_state: TrainState
+    env_state: EnvState
+    obs: jnp.ndarray
+    critic_obs: jnp.ndarray
+    key: jnp.ndarray
+
+
+class IterationMetrics(NamedTuple):
+    update: UpdateMetrics
+    mean_step_reward: jnp.ndarray
+    ep_rew_sums: jnp.ndarray      # (n_rew,) summed over finished episodes
+    ep_count: jnp.ndarray
+    ep_len_sum: jnp.ndarray
+    mean_action_std: jnp.ndarray
+    rew_terms_mean: jnp.ndarray   # (n_rew,) mean per-step contribution
+
+
+class OnPolicyRunner:
+    """env + nets + jitted train iteration + checkpoint/log glue."""
+
+    def __init__(self, env: XBotLEnv, train_cfg: XBotLCfgPPO,
+                 log_dir: Optional[str] = None):
+        self.env = env
+        self.cfg = train_cfg
+        self.log_dir = log_dir
+        ecfg = env.cfg.env
+        self.net = ActorCritic(
+            num_actions=ecfg.num_actions,
+            actor_hidden_dims=train_cfg.policy.actor_hidden_dims,
+            critic_hidden_dims=train_cfg.policy.critic_hidden_dims,
+            vel_est_hidden_dims=train_cfg.policy.vel_est_hidden_dims,
+            init_noise_std=train_cfg.policy.init_noise_std,
+        )
+        key = jax.random.PRNGKey(train_cfg.seed)
+        kinit, self.key = jax.random.split(key)
+        params = init_params(
+            kinit, self.net, ecfg.num_observations, ecfg.num_privileged_obs
+        )
+        self.train_state = init_train_state(params, train_cfg.algorithm)
+        # velocity-estimator target: base_lin_vel slice of the OLDEST critic
+        # frame (rollout_storage.py:164 '53:56' = 5 + 4*nj for 12 dof)
+        lo = 5 + 4 * ecfg.num_actions
+        self.vel_slice = (lo, lo + 3)
+        self.iteration = 0
+        self._train_iter = jax.jit(self._train_iteration)
+
+    # ------------------------------------------------------------------
+
+    def init_carry(self, init_at_random_ep_len: bool = True) -> IterationCarry:
+        """env reset + first zero-action step (base_task.py:144-149,
+        on_policy_runner.py:91,104-107)."""
+        k_env, k_step, self.key = jax.random.split(self.key, 3)
+        state = self.env.initial_state(k_env)
+        if init_at_random_ep_len:
+            k_len, self.key = jax.random.split(self.key)
+            state = state._replace(
+                episode_length=jax.random.randint(
+                    k_len, state.episode_length.shape, 0,
+                    self.env.max_episode_length,
+                )
+            )
+        nj = self.env.cfg.env.num_actions
+        N = self.env.cfg.env.num_envs
+        state, out = jax.jit(self.env.step)(
+            state, jnp.zeros((N, nj)), k_step
+        )
+        k_iter, self.key = jax.random.split(self.key)
+        return IterationCarry(
+            train_state=self.train_state,
+            env_state=state,
+            obs=out.obs,
+            critic_obs=out.privileged_obs,
+            key=k_iter,
+        )
+
+    # ------------------------------------------------------------------
+
+    def _train_iteration(
+        self, carry: IterationCarry
+    ) -> Tuple[IterationCarry, IterationMetrics]:
+        acfg = self.cfg.algorithm
+        T = self.cfg.runner.num_steps_per_env
+        net = self.net
+
+        def rollout_step(c, _):
+            ts, env_state, obs, critic_obs, key = c
+            k_act, k_env, key = jax.random.split(key, 3)
+            mean, std, value, _ = net.apply(ts.params, obs, critic_obs)
+            action = sample_action(k_act, mean, std)
+            logp = log_prob(mean, std, action)
+            env_state, out = self.env.step(env_state, action, k_env)
+            # timeout bootstrapping (ppo.py:132-138)
+            reward = out.rew + acfg.gamma * value * out.time_outs
+            transition = Batch(
+                obs=obs,
+                critic_obs=critic_obs,
+                actions=action,
+                old_logp=logp,
+                old_mu=mean,
+                old_sigma=jnp.broadcast_to(std, mean.shape),
+                target_values=value,
+                advantages=reward,           # placeholder, filled post-GAE
+                returns=out.reset.astype(jnp.float32),  # dones, ditto
+            )
+            stats = (
+                out.rew, out.ep_rew_sums, out.ep_count, out.ep_len_sum,
+                out.rew_terms_mean,
+            )
+            return (
+                (ts, env_state, out.obs, out.privileged_obs, key),
+                (transition, stats),
+            )
+
+        (ts, env_state, obs, critic_obs, key), (traj, stats) = jax.lax.scan(
+            rollout_step,
+            (carry.train_state, carry.env_state, carry.obs, carry.critic_obs,
+             carry.key),
+            None,
+            length=T,
+        )
+        rewards = traj.advantages          # (T, N) bootstrapped rewards
+        dones = traj.returns               # (T, N)
+        _, _, last_values, _ = net.apply(ts.params, obs, critic_obs)
+        advantages, returns = compute_gae(
+            rewards, traj.target_values, dones, last_values,
+            acfg.gamma, acfg.lam,
+        )
+        # global advantage normalization (rollout_storage.py:143)
+        adv_mean = jnp.mean(advantages)
+        adv_std = jnp.std(advantages)
+        norm_adv = (advantages - adv_mean) / (adv_std + 1e-8)
+
+        def flat(x):
+            return x.reshape((-1,) + x.shape[2:])
+
+        batch = Batch(
+            obs=flat(traj.obs),
+            critic_obs=flat(traj.critic_obs),
+            actions=flat(traj.actions),
+            old_logp=flat(traj.old_logp),
+            old_mu=flat(traj.old_mu),
+            old_sigma=flat(traj.old_sigma),
+            target_values=flat(traj.target_values),
+            advantages=flat(norm_adv),
+            returns=flat(returns),
+        )
+        k_update, key = jax.random.split(key)
+        ts, update_metrics = ppo_update(
+            net, acfg, ts, batch, k_update, self.vel_slice
+        )
+        step_rew, ep_rew_sums, ep_count, ep_len_sum, rew_terms = stats
+        metrics = IterationMetrics(
+            update=update_metrics,
+            mean_step_reward=jnp.mean(step_rew),
+            ep_rew_sums=jnp.sum(ep_rew_sums, axis=0),
+            ep_count=jnp.sum(ep_count),
+            ep_len_sum=jnp.sum(ep_len_sum),
+            mean_action_std=jnp.mean(
+                jnp.maximum(ts.params["params"]["std"], 1e-3)
+            ),
+            rew_terms_mean=jnp.mean(rew_terms, axis=0),
+        )
+        new_carry = IterationCarry(
+            train_state=ts, env_state=env_state, obs=obs,
+            critic_obs=critic_obs, key=key,
+        )
+        return new_carry, metrics
+
+    # ------------------------------------------------------------------
+
+    def learn(
+        self,
+        num_iterations: int,
+        init_at_random_ep_len: bool = True,
+        log_fn=None,
+    ) -> IterationCarry:
+        carry = self.init_carry(init_at_random_ep_len)
+        N = self.env.cfg.env.num_envs
+        T = self.cfg.runner.num_steps_per_env
+        for it in range(num_iterations):
+            t0 = time.time()
+            carry, metrics = self._train_iter(carry)
+            jax.block_until_ready(carry.train_state.params)
+            dt_iter = time.time() - t0
+            self.iteration += 1
+            self.train_state = carry.train_state
+            if log_fn is not None:
+                fps = T * N / dt_iter
+                log_fn(self.iteration, metrics, fps, dt_iter)
+        return carry
+
+    # ------------------------------------------------------------------
+
+    def inference_policy(self):
+        """Deterministic actor (reference get_inference_policy,
+        on_policy_runner.py:312-316)."""
+        params = self.train_state.params
+        net = self.net
+
+        @jax.jit
+        def policy(obs):
+            return net.apply(params, obs, method="act_mean")
+
+        return policy

@@ -1,0 +1,570 @@
+"""XBot-L walking task environment — the TPU-native XBotLFreeEnv.
+
+Functional rebuild of the reference env (/root/reference/humanoid/envs/
+custom/humanoid_env.py): one pure `step` over an explicit EnvState pytree,
+batched over the env axis, fully jittable. Auto-reset is masked re-init
+inside step (reference resets done envs before computing observations,
+humanoid_env.py:796-799); all the Python-side branching of the reference
+(push timers, command resampling, curriculum) becomes `where` masks on
+traced counters.
+
+Step pipeline (ordering matches humanoid_env.py:616-660 + 770-809 exactly):
+  action delay-mix + noise + clip -> decimated PD/physics -> episode
+  counters -> base quantities -> [resample commands, heading, push] ->
+  termination -> rewards -> masked reset -> observations -> history &
+  last_* updates -> obs clip.
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..assets import XBOT_JOINT_ORDER, XBOT_URDF
+from ..config.structs import XBotLCfg
+from ..physics.contact import ContactParams, Terrain
+from ..physics.engine import (
+    EnvPhysParams,
+    PhysDiag,
+    PhysState,
+    control_step_batch,
+)
+from ..physics.model import RobotModel
+from ..physics.spatial import (
+    quat_rotate,
+    quat_rotate_inverse,
+    quat_to_euler_xyz,
+    wrap_to_pi,
+)
+from ..physics.urdf import load_urdf
+from .rewards import RewardContext, build_reward_table, gait_updates
+
+
+class EnvState(NamedTuple):
+    phys: PhysState                 # batched (N, ...)
+    masses: jnp.ndarray             # (N, nb) domain-randomized body masses
+    friction: jnp.ndarray           # (N,)
+    episode_length: jnp.ndarray     # (N,) int32
+    common_step: jnp.ndarray        # () int32 global counter
+    commands: jnp.ndarray           # (N, 4) [vx, vy, wyaw, heading]
+    actions: jnp.ndarray            # (N, nj)
+    last_actions: jnp.ndarray       # (N, nj)
+    last_last_actions: jnp.ndarray  # (N, nj)
+    last_dof_vel: jnp.ndarray       # (N, nj)
+    last_root_vel: jnp.ndarray      # (N, 6) [lin, ang] world
+    feet_air_time: jnp.ndarray      # (N, 2)
+    last_contacts: jnp.ndarray      # (N, 2) bool
+    last_feet_z: jnp.ndarray        # (N, 2)
+    feet_height: jnp.ndarray        # (N, 2)
+    push_force: jnp.ndarray         # (N, 2) last applied push velocity (xy)
+    push_torque: jnp.ndarray        # (N, 3)
+    obs_hist: jnp.ndarray           # (N, frame_stack, K)
+    critic_hist: jnp.ndarray        # (N, c_frame_stack, K')
+    episode_sums: jnp.ndarray       # (N, n_rew)
+
+
+class StepOutput(NamedTuple):
+    obs: jnp.ndarray                # (N, frame_stack*K)
+    privileged_obs: jnp.ndarray     # (N, c_frame_stack*K')
+    rew: jnp.ndarray                # (N,)
+    reset: jnp.ndarray              # (N,) bool
+    time_outs: jnp.ndarray          # (N,) bool
+    # episode telemetry, aggregated over envs that reset this step
+    ep_rew_sums: jnp.ndarray        # (n_rew,) sum of per-episode reward sums
+    ep_count: jnp.ndarray           # () number of episodes finished
+    ep_len_sum: jnp.ndarray         # () sum of finished episode lengths
+    rew_terms_mean: jnp.ndarray     # (n_rew,) this-step mean per term
+
+
+class XBotLEnv:
+    """Static task object: holds the compiled model, config-derived constant
+    arrays, and the reward table. All methods are pure."""
+
+    def __init__(
+        self,
+        cfg: XBotLCfg,
+        model: Optional[RobotModel] = None,
+        terrain: Optional[Terrain] = None,
+        env_origins: Optional[np.ndarray] = None,
+    ):
+        self.cfg = cfg
+        self.model = model or load_urdf(
+            cfg.asset.urdf or XBOT_URDF,
+            joint_order=XBOT_JOINT_ORDER,
+            foot_name=cfg.asset.foot_name,
+            knee_name=cfg.asset.knee_name,
+            terminate_on=cfg.asset.terminate_after_contacts_on,
+            armature=cfg.sim.armature,
+        )
+        m = self.model
+        self.nj = m.nj
+        self.dt = cfg.dt
+        self.terrain = terrain if terrain is not None else Terrain.plane()
+        self.contact_params = ContactParams(
+            kn=cfg.sim.contact_kn, cn=cfg.sim.contact_cn,
+            v_reg=cfg.sim.contact_v_reg,
+        )
+
+        self.default_dof_pos = jnp.asarray(cfg.init_state.default_joint_angles)
+        self.kp = jnp.asarray(cfg.control.stiffness)
+        self.kd = jnp.asarray(cfg.control.damping)
+        self.torque_limits = jnp.asarray(
+            m.dof_effort * cfg.safety.torque_limit
+        )
+        obs_scales = cfg.normalization.obs_scales
+        self.commands_scale = jnp.array(
+            [obs_scales.lin_vel, obs_scales.lin_vel, obs_scales.ang_vel]
+        )
+        self.reward_names, self.reward_fns, self.reward_scales = (
+            build_reward_table(cfg.rewards, self.dt)
+        )
+        self.n_rew = len(self.reward_names)
+        self.noise_vec = self._build_noise_vec()
+
+        N = cfg.env.num_envs
+        if env_origins is None:
+            # plane grid (legged_robot.py:873-878 semantics)
+            cols = int(np.floor(np.sqrt(N)))
+            rows = int(np.ceil(N / cols))
+            xx, yy = np.meshgrid(np.arange(rows), np.arange(cols), indexing="ij")
+            env_origins = np.zeros((N, 3))
+            env_origins[:, 0] = cfg.terrain.env_spacing * xx.flatten()[:N]
+            env_origins[:, 1] = cfg.terrain.env_spacing * yy.flatten()[:N]
+        self.env_origins = jnp.asarray(env_origins, dtype=jnp.float32)
+
+        self.resample_steps = int(cfg.commands.resampling_time / self.dt)
+        self.push_interval = int(np.ceil(cfg.domain_rand.push_interval_s / self.dt))
+        self.max_episode_length = cfg.max_episode_length
+
+    # ------------------------------------------------------------------
+    # static helpers
+    # ------------------------------------------------------------------
+
+    def _build_noise_vec(self):
+        """Per-component obs noise scales (humanoid_env.py:748-768)."""
+        cfg = self.cfg
+        ns = cfg.noise.noise_scales
+        os_ = cfg.normalization.obs_scales
+        nj = self.nj
+        v = np.zeros(cfg.env.num_single_obs, dtype=np.float32)
+        v[5 : 5 + nj] = ns.dof_pos * os_.dof_pos
+        v[5 + nj : 5 + 2 * nj] = ns.dof_vel * os_.dof_vel
+        # previous actions: 0
+        v[5 + 3 * nj : 8 + 3 * nj] = ns.ang_vel * os_.ang_vel
+        v[8 + 3 * nj : 11 + 3 * nj] = ns.quat * os_.quat
+        return jnp.asarray(v)
+
+    def _phase(self, episode_length):
+        return (
+            episode_length.astype(jnp.float32) * self.dt
+            / self.cfg.rewards.cycle_time
+        )
+
+    def _gait_masks(self, episode_length):
+        """(stance_mask (N,2), sin_pos (N,)) — humanoid_env.py:695-715."""
+        phase = self._phase(episode_length)
+        sin_pos = jnp.sin(2 * jnp.pi * phase)
+        left = sin_pos >= 0
+        stance = jnp.stack([left, ~left], axis=-1).astype(jnp.float32)
+        double = (jnp.abs(sin_pos) < 0.1)[:, None]
+        return jnp.where(double, 1.0, stance), sin_pos
+
+    def _ref_dof_pos(self, episode_length):
+        """Sinusoidal leg reference (humanoid_env.py:717-744, 12-dof
+        indices 2,3,4 / 8,9,10) — built scatter-free from constant masks."""
+        _, sin_pos = self._gait_masks(episode_length)
+        s1 = self.cfg.rewards.target_joint_pos_scale
+        s2 = 2 * s1
+        sin_l = jnp.minimum(sin_pos, 0.0)
+        sin_r = jnp.maximum(sin_pos, 0.0)
+        vl = np.zeros(self.nj, dtype=np.float32)
+        vl[[2, 3, 4]] = [s1, s2, s1]
+        vr = np.zeros(self.nj, dtype=np.float32)
+        vr[[8, 9, 10]] = [s1, s2, s1]
+        ref = sin_l[:, None] * jnp.asarray(vl) + sin_r[:, None] * jnp.asarray(vr)
+        double = (jnp.abs(sin_pos) < 0.1)[:, None]
+        return jnp.where(double, 0.0, ref)
+
+    def _sample_commands(self, key, n):
+        """(n,4) fresh commands (humanoid_env.py:1019-1034)."""
+        cfg = self.cfg.commands
+        k1, k2, k3 = jax.random.split(key, 3)
+        r = cfg.ranges
+        vx = jax.random.uniform(k1, (n,), minval=r.lin_vel_x[0], maxval=r.lin_vel_x[1])
+        vy = jax.random.uniform(k2, (n,), minval=r.lin_vel_y[0], maxval=r.lin_vel_y[1])
+        if cfg.heading_command:
+            heading = jax.random.uniform(
+                k3, (n,), minval=r.heading[0], maxval=r.heading[1]
+            )
+            wyaw = jnp.zeros(n)
+        else:
+            heading = jnp.zeros(n)
+            wyaw = jax.random.uniform(
+                k3, (n,), minval=r.ang_vel_yaw[0], maxval=r.ang_vel_yaw[1]
+            )
+        cmds = jnp.stack([vx, vy, wyaw, heading], axis=-1)
+        # zero-out small commands (humanoid_env.py:1034)
+        keep = jnp.linalg.norm(cmds[:, 0:2], axis=1) > 0.2
+        return cmds.at[:, 0:2].multiply(keep[:, None].astype(cmds.dtype))
+
+    def _reset_phys(self, key, n):
+        """Fresh PhysState batch for n envs (humanoid_env.py:1036-1052)."""
+        cfg = self.cfg
+        kq, = jax.random.split(key, 1)
+        qj = self.default_dof_pos + jax.random.uniform(
+            kq, (n, self.nj),
+            minval=-cfg.init_state.reset_dof_rand,
+            maxval=cfg.init_state.reset_dof_rand,
+        )
+        base_pos = jnp.asarray(cfg.init_state.pos) + self.env_origins[:n]
+        return PhysState(
+            base_pos=base_pos,
+            base_quat=jnp.tile(jnp.array([1.0, 0.0, 0.0, 0.0]), (n, 1)),
+            qj=qj,
+            u=jnp.zeros((n, 6 + self.nj)),
+        )
+
+    # ------------------------------------------------------------------
+    # lifecycle
+    # ------------------------------------------------------------------
+
+    def initial_state(self, key) -> EnvState:
+        """All envs in the post-reset configuration; call step(zeros) once to
+        produce the first observation (base_task.py:144-149 reset flow)."""
+        cfg = self.cfg
+        N = cfg.env.num_envs
+        kf, kb, km, kq, kc = jax.random.split(key, 5)
+        dr = cfg.domain_rand
+        if dr.randomize_friction:
+            # 256-bucket uniform, matching humanoid_env.py:541-549
+            buckets = jax.random.uniform(
+                kf, (256,), minval=dr.friction_range[0],
+                maxval=dr.friction_range[1],
+            )
+            ids = jax.random.randint(kb, (N,), 0, 256)
+            friction = buckets[ids]
+        else:
+            friction = jnp.ones(N)
+        masses = jnp.tile(jnp.asarray(self.model.mass, dtype=jnp.float32), (N, 1))
+        if dr.randomize_base_mass:
+            added = jax.random.uniform(
+                km, (N,), minval=dr.added_mass_range[0],
+                maxval=dr.added_mass_range[1],
+            )
+            masses = masses.at[:, 0].add(added)
+
+        nK = cfg.env.num_single_obs
+        nKp = cfg.env.single_num_privileged_obs
+        return EnvState(
+            phys=self._reset_phys(kq, N),
+            masses=masses,
+            friction=friction,
+            episode_length=jnp.zeros(N, dtype=jnp.int32),
+            common_step=jnp.zeros((), dtype=jnp.int32),
+            commands=self._sample_commands(kc, N),
+            actions=jnp.zeros((N, self.nj)),
+            last_actions=jnp.zeros((N, self.nj)),
+            last_last_actions=jnp.zeros((N, self.nj)),
+            last_dof_vel=jnp.zeros((N, self.nj)),
+            last_root_vel=jnp.zeros((N, 6)),
+            feet_air_time=jnp.zeros((N, 2)),
+            last_contacts=jnp.zeros((N, 2), dtype=bool),
+            last_feet_z=jnp.zeros((N, 2)),
+            feet_height=jnp.zeros((N, 2)),
+            push_force=jnp.zeros((N, 2)),
+            push_torque=jnp.zeros((N, 3)),
+            obs_hist=jnp.zeros((N, cfg.env.frame_stack, nK)),
+            critic_hist=jnp.zeros((N, cfg.env.c_frame_stack, nKp)),
+            episode_sums=jnp.zeros((N, self.n_rew)),
+        )
+
+    # ------------------------------------------------------------------
+    # step
+    # ------------------------------------------------------------------
+
+    def step(
+        self, state: EnvState, actions: jnp.ndarray, key
+    ) -> Tuple[EnvState, StepOutput]:
+        cfg = self.cfg
+        N = cfg.env.num_envs
+        k_delay, k_noise, k_cmd, k_push, k_reset_q, k_reset_c, k_obs = (
+            jax.random.split(key, 7)
+        )
+
+        # ---- 1. action processing (humanoid_env.py:616-636) ----
+        if cfg.env.use_ref_actions:
+            actions = actions + 2.0 * self._ref_dof_pos(state.episode_length)
+        if cfg.domain_rand.action_delay:
+            delay = jax.random.uniform(k_delay, (N, 1))
+            actions = (1 - delay) * actions + delay * state.actions
+        if cfg.domain_rand.dynamic_randomization > 0:
+            actions = actions + (
+                cfg.domain_rand.dynamic_randomization
+                * jax.random.normal(k_noise, actions.shape)
+                * actions
+            )
+        actions = jnp.clip(
+            actions, -cfg.normalization.clip_actions,
+            cfg.normalization.clip_actions,
+        )
+
+        # ---- 2. decimated PD + physics (humanoid_env.py:639-649) ----
+        targets = actions * cfg.control.action_scale + self.default_dof_pos
+
+        def torque_fn(s):
+            tau = self.kp * (targets - s.qj) - self.kd * s.u[:, 6:]
+            return jnp.clip(tau, -self.torque_limits, self.torque_limits)
+
+        phys, diag = control_step_batch(
+            self.model,
+            EnvPhysParams(masses=state.masses, friction=state.friction),
+            self.terrain,
+            self.contact_params,
+            state.phys,
+            torque_fn,
+            cfg.control.decimation,
+            cfg.sim.dt,
+        )
+
+        # ---- 3. counters + base quantities (humanoid_env.py:770-790) ----
+        episode_length = state.episode_length + 1
+        common_step = state.common_step + 1
+        base_quat = phys.base_quat
+        base_lin_vel = quat_rotate_inverse(base_quat, phys.u[:, 3:6])
+        base_ang_vel = quat_rotate_inverse(base_quat, phys.u[:, 0:3])
+        projected_gravity = quat_rotate_inverse(
+            base_quat, jnp.tile(jnp.array([0.0, 0.0, -1.0]), (N, 1))
+        )
+        base_euler = quat_to_euler_xyz(base_quat)
+
+        # ---- callback: resample commands / heading / push (1000-1016) ----
+        commands = state.commands
+        resample = (episode_length % self.resample_steps) == 0
+        fresh = self._sample_commands(k_cmd, N)
+        commands = jnp.where(resample[:, None], fresh, commands)
+        if cfg.commands.heading_command:
+            fwd = quat_rotate(base_quat, jnp.tile(jnp.array([1.0, 0.0, 0.0]), (N, 1)))
+            heading = jnp.arctan2(fwd[:, 1], fwd[:, 0])
+            commands = commands.at[:, 2].set(
+                jnp.clip(0.5 * wrap_to_pi(commands[:, 3] - heading), -1.0, 1.0)
+            )
+
+        push_force, push_torque = state.push_force, state.push_torque
+        if cfg.domain_rand.push_robots:
+            push_now = (common_step % self.push_interval) == 0
+            kpv, kpw = jax.random.split(k_push)
+            new_pf = jax.random.uniform(
+                kpv, (N, 2), minval=-cfg.domain_rand.max_push_vel_xy,
+                maxval=cfg.domain_rand.max_push_vel_xy,
+            )
+            new_pt = jax.random.uniform(
+                kpw, (N, 3), minval=-cfg.domain_rand.max_push_ang_vel,
+                maxval=cfg.domain_rand.max_push_ang_vel,
+            )
+            push_force = jnp.where(push_now, new_pf, push_force)
+            push_torque = jnp.where(push_now, new_pt, push_torque)
+            # the reference *sets* root velocities (humanoid_env.py:665-681);
+            # applied after obs quantities were captured, like the reference
+            u = phys.u
+            u = u.at[:, 3:5].set(jnp.where(push_now, new_pf, u[:, 3:5]))
+            u = u.at[:, 0:3].set(jnp.where(push_now, new_pt, u[:, 0:3]))
+            phys = phys._replace(u=u)
+
+        # ---- 4. termination (humanoid_env.py:811-816) ----
+        term = jnp.any(diag.term_force > cfg.asset.termination_force, axis=1)
+        time_out = episode_length > self.max_episode_length
+        reset_buf = term | time_out
+
+        # ---- 5. rewards (pre-reset state; humanoid_env.py:889-907) ----
+        # static body indexing (stack-of-slices, no TPU gather)
+        def take_bodies(x, bodies):
+            return jnp.stack([x[:, b] for b in bodies], axis=1)
+
+        foot_pos = take_bodies(diag.body_pos, self.model.foot_bodies)
+        contact = diag.foot_forces[:, :, 2] > 5.0
+        stance_mask, _ = self._gait_masks(episode_length)
+        (air_time, first_contact, fh), (
+            new_feet_air_time, new_last_contacts, new_last_feet_z,
+            new_feet_height,
+        ) = gait_updates(
+            contact, stance_mask, state.last_contacts, state.feet_air_time,
+            foot_pos[:, :, 2], state.last_feet_z, state.feet_height, self.dt,
+        )
+        root_vel = jnp.concatenate([phys.u[:, 3:6], phys.u[:, 0:3]], axis=1)
+        ctx = RewardContext(
+            dof_pos=phys.qj,
+            dof_vel=phys.u[:, 6:],
+            last_dof_vel=state.last_dof_vel,
+            actions=actions,
+            last_actions=state.last_actions,
+            last_last_actions=state.last_last_actions,
+            torques=diag.tau,
+            # the reference's reward reads the ref pose computed by the
+            # PREVIOUS step's compute_observations (one step stale) — use the
+            # pre-increment counter for exact parity
+            ref_dof_pos=self._ref_dof_pos(state.episode_length),
+            default_dof_pos=self.default_dof_pos,
+            base_pos=phys.base_pos,
+            base_lin_vel=base_lin_vel,
+            base_ang_vel=base_ang_vel,
+            base_euler=base_euler,
+            projected_gravity=projected_gravity,
+            root_vel=root_vel,
+            last_root_vel=state.last_root_vel,
+            commands=commands,
+            foot_pos=foot_pos,
+            knee_pos=take_bodies(diag.body_pos, self.model.knee_bodies),
+            foot_ang_vel=take_bodies(diag.body_omega, self.model.foot_bodies),
+            foot_forces=diag.foot_forces,
+            term_force=diag.term_force,
+            contact=contact,
+            stance_mask=stance_mask,
+            feet_air_time=air_time,
+            first_contact=first_contact,
+            feet_height=fh,
+            dt=self.dt,
+            cfg=cfg.rewards,
+        )
+        rew_terms = jnp.stack(
+            [fn(ctx) * s for fn, s in zip(self.reward_fns, self.reward_scales)],
+            axis=1,
+        )  # (N, n_rew)
+        rew = jnp.sum(rew_terms, axis=1)
+        if cfg.rewards.only_positive_rewards:
+            rew = jnp.maximum(rew, 0.0)
+        episode_sums = state.episode_sums + rew_terms
+
+        # ---- 6. masked auto-reset (humanoid_env.py:1109-1163) ----
+        r = reset_buf[:, None]
+        fresh_phys = self._reset_phys(k_reset_q, N)
+        phys = PhysState(
+            base_pos=jnp.where(r, fresh_phys.base_pos, phys.base_pos),
+            base_quat=jnp.where(r, fresh_phys.base_quat, phys.base_quat),
+            qj=jnp.where(r, fresh_phys.qj, phys.qj),
+            u=jnp.where(r, fresh_phys.u, phys.u),
+        )
+        commands = jnp.where(r, self._sample_commands(k_reset_c, N), commands)
+        actions = jnp.where(r, 0.0, actions)
+        new_feet_air_time = jnp.where(r, 0.0, new_feet_air_time)
+        new_last_contacts = jnp.where(r, False, new_last_contacts)
+        new_last_feet_z = jnp.where(r, 0.0, new_last_feet_z)
+        new_feet_height = jnp.where(r, 0.0, new_feet_height)
+        episode_length_out = jnp.where(reset_buf, 0, episode_length)
+
+        # episode telemetry before clearing sums (humanoid_env.py:1141-1149)
+        rmask = reset_buf.astype(jnp.float32)
+        ep_rew_sums = jnp.sum(episode_sums * rmask[:, None], axis=0)
+        ep_count = jnp.sum(rmask)
+        ep_len_sum = jnp.sum(episode_length * reset_buf)
+        episode_sums = jnp.where(r, 0.0, episode_sums)
+
+        # ---- 7. observations (818-887) ----
+        # Base kinematic quantities: the reference captures these BEFORE the
+        # push (a push shows up in obs only next step) and recomputes them
+        # only for just-reset envs (reset_idx lines 1157-1160, where the
+        # fresh state is at rest with identity orientation).
+        base_lin_vel_o = jnp.where(r, 0.0, base_lin_vel)
+        base_ang_vel_o = jnp.where(r, 0.0, base_ang_vel)
+        base_euler_o = jnp.where(r, 0.0, base_euler)
+        stance_mask_o, sin_pos = self._gait_masks(episode_length_out)
+        phase = self._phase(episode_length_out)
+        sincos = jnp.stack(
+            [jnp.sin(2 * jnp.pi * phase), jnp.cos(2 * jnp.pi * phase)], axis=1
+        )
+        command_input = jnp.concatenate(
+            [sincos, commands[:, 0:3] * self.commands_scale], axis=1
+        )
+        obs_scales = cfg.normalization.obs_scales
+        q = (phys.qj - self.default_dof_pos) * obs_scales.dof_pos
+        dq = phys.u[:, 6:] * obs_scales.dof_vel
+        diff = phys.qj - self._ref_dof_pos(episode_length_out)
+
+        single_priv = jnp.concatenate(
+            [
+                command_input,                                   # 5
+                q,                                               # nj
+                dq,                                              # nj
+                actions,                                         # nj
+                diff,                                            # nj
+                base_lin_vel_o * obs_scales.lin_vel,             # 3
+                base_ang_vel_o * obs_scales.ang_vel,             # 3
+                base_euler_o * obs_scales.quat,                  # 3
+                push_force,                                      # 2
+                push_torque,                                     # 3
+                state.friction[:, None],                         # 1
+                state.masses[:, 0:1] / 30.0,                     # 1
+                stance_mask_o,                                   # 2
+                contact.astype(jnp.float32),                     # 2
+            ],
+            axis=1,
+        )
+        single_obs = jnp.concatenate(
+            [
+                command_input,                                   # 5
+                q,                                               # nj
+                dq,                                              # nj
+                actions,                                         # nj
+                base_ang_vel_o * obs_scales.ang_vel,             # 3
+                base_euler_o * obs_scales.quat,                  # 3
+            ],
+            axis=1,
+        )
+        if cfg.noise.add_noise:
+            single_obs = single_obs + (
+                jax.random.normal(k_obs, single_obs.shape)
+                * self.noise_vec
+                * cfg.noise.noise_level
+            )
+
+        zero3 = reset_buf[:, None, None]
+        obs_hist = jnp.where(zero3, 0.0, state.obs_hist)
+        critic_hist = jnp.where(zero3, 0.0, state.critic_hist)
+        obs_hist = jnp.concatenate(
+            [obs_hist[:, 1:], single_obs[:, None, :]], axis=1
+        )
+        critic_hist = jnp.concatenate(
+            [critic_hist[:, 1:], single_priv[:, None, :]], axis=1
+        )
+        clip_obs = cfg.normalization.clip_observations
+        obs = jnp.clip(obs_hist.reshape(N, -1), -clip_obs, clip_obs)
+        priv_obs = jnp.clip(critic_hist.reshape(N, -1), -clip_obs, clip_obs)
+
+        # ---- 8. last_* updates (humanoid_env.py:800-805) ----
+        new_state = EnvState(
+            phys=phys,
+            masses=state.masses,
+            friction=state.friction,
+            episode_length=episode_length_out,
+            common_step=common_step,
+            commands=commands,
+            actions=actions,
+            last_actions=jnp.where(r, 0.0, actions),
+            last_last_actions=jnp.where(r, 0.0, state.last_actions),
+            last_dof_vel=jnp.where(r, 0.0, phys.u[:, 6:]),
+            last_root_vel=jnp.concatenate(
+                [phys.u[:, 3:6], phys.u[:, 0:3]], axis=1
+            ),
+            feet_air_time=new_feet_air_time,
+            last_contacts=new_last_contacts,
+            last_feet_z=new_last_feet_z,
+            feet_height=new_feet_height,
+            push_force=push_force,
+            push_torque=push_torque,
+            obs_hist=obs_hist,
+            critic_hist=critic_hist,
+            episode_sums=episode_sums,
+        )
+        out = StepOutput(
+            obs=obs,
+            privileged_obs=priv_obs,
+            rew=rew,
+            reset=reset_buf,
+            time_outs=time_out,
+            ep_rew_sums=ep_rew_sums,
+            ep_count=ep_count,
+            ep_len_sum=ep_len_sum,
+            rew_terms_mean=jnp.mean(rew_terms, axis=0),
+        )
+        return new_state, out

@@ -1,0 +1,141 @@
+"""Small-matrix linear algebra tuned for TPU.
+
+XLA's stock `cholesky`/`cho_solve` on TPU lower to blocked algorithms meant
+for large matrices; for the physics engine's batched 18x18 mass-matrix
+solves they measured 13.3 ms at 4096 envs on v5e — 400x the cost of the
+entire rest of the substep. The fix: fully unrolled scalar Cholesky with the
+system size fixed at trace time. Under vmap, every scalar becomes a (N,)
+lane vector and XLA fuses the ~n^3/3 multiply-adds into a handful of
+elementwise kernels (measured ~0.2 ms).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def chol_solve_unrolled(M, b):
+    """Solve M x = b for SPD M of small static size n (trailing dims
+    (n, n) / (n,)), via n unrolled rank-1 (outer-product) Cholesky steps.
+
+    Column-at-a-time keeps the op count at ~6n (vector/matrix-shaped ops
+    that vmap into (N, n[, n]) kernels) instead of ~n^3/3 scalar ops —
+    the granularity TPU fusion digests well. Intended for use inside vmap.
+    """
+    n = M.shape[-1]
+    assert M.shape[-2] == n and b.shape[-1] == n
+    dtype = M.dtype
+    idx = jnp.arange(n)
+
+    A = M
+    cols = []
+    inv_diag = []
+    for k in range(n):
+        d = A[..., k, k]
+        inv = lax.rsqrt(d)
+        inv_diag.append(inv)
+        col = A[..., :, k] * inv[..., None]
+        col = jnp.where(idx >= k, col, jnp.zeros((), dtype))
+        cols.append(col)
+        A = A - col[..., :, None] * col[..., None, :]
+    L = jnp.stack(cols, axis=-1)              # (..., n, n) lower triangular
+
+    # forward: L y = b   (column sweep)
+    y = b
+    ys = []
+    for k in range(n):
+        yk = y[..., k] / L[..., k, k]
+        ys.append(yk)
+        y = y - cols[k] * yk[..., None]
+        # (entries <= k become junk but are never read again)
+
+    # backward: L^T x = y_solved
+    yv = jnp.stack(ys, axis=-1)
+    x = [None] * n
+    acc = yv
+    for k in reversed(range(n)):
+        xk = acc[..., k] / L[..., k, k]
+        x[k] = xk
+        acc = acc - L[..., k, :] * xk[..., None]
+    return jnp.stack(x, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Pallas batched SPD solve: env axis on lanes, matrix unrolled to scalars
+# ---------------------------------------------------------------------------
+
+def _chol_solve_kernel(m_ref, b_ref, out_ref, *, n: int):
+    """One VMEM tile: m_ref (n*n, BN), b_ref/out_ref (n, BN).
+
+    The whole factorization is unrolled to scalar ops on (BN,)-lane vectors
+    held in vector registers — ~n^3/3 VPU multiply-adds, zero HBM round
+    trips beyond the tile load/store."""
+    L = [[None] * n for _ in range(n)]
+    invd = [None] * n
+    for j in range(n):
+        s = m_ref[j * n + j, :]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        iv = lax.rsqrt(s)
+        invd[j] = iv
+        L[j][j] = s * iv
+        for i in range(j + 1, n):
+            t = m_ref[i * n + j, :]
+            for k in range(j):
+                t = t - L[i][k] * L[j][k]
+            L[i][j] = t * iv
+    y = [None] * n
+    for i in range(n):
+        s = b_ref[i, :]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s * invd[i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s * invd[i]
+    for i in range(n):
+        out_ref[i, :] = x[i]
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def solve_spd_pallas(M, b, block: int = 512):
+    """Batched SPD solve M x = b via the Pallas kernel.
+
+    M: (N, n, n), b: (N, n) with N a multiple of `block` (the physics env
+    count always is). Layout is flipped to env-last so the batch rides the
+    128-lane dimension.
+    """
+    from jax.experimental import pallas as pl
+
+    N, n, _ = M.shape
+    assert N % block == 0, (N, block)
+    Mt = M.reshape(N, n * n).T    # (n*n, N)
+    bt = b.T                      # (n, N)
+    out = pl.pallas_call(
+        functools.partial(_chol_solve_kernel, n=n),
+        grid=(N // block,),
+        in_specs=[
+            pl.BlockSpec((n * n, block), lambda g: (0, g)),
+            pl.BlockSpec((n, block), lambda g: (0, g)),
+        ],
+        out_specs=pl.BlockSpec((n, block), lambda g: (0, g)),
+        out_shape=jax.ShapeDtypeStruct((n, N), M.dtype),
+    )(Mt, bt)
+    return out.T
+
+
+def solve_spd_batch(M, b):
+    """Batched SPD solve with automatic backend dispatch: Pallas on TPU
+    (when the batch tiles cleanly), unrolled XLA elsewhere."""
+    N = M.shape[0]
+    if jax.default_backend() == "tpu":
+        for blk in (512, 256, 128):
+            if N % blk == 0:
+                return solve_spd_pallas(M, b, block=blk)
+    return chol_solve_unrolled(M, b)

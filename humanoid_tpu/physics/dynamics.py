@@ -1,42 +1,70 @@
 """Floating-base rigid-body dynamics: mass matrix + bias forces.
 
-TPU-first formulation: instead of a sequential articulated-body recursion,
-the mass matrix and bias are assembled as dense einsum contractions over the
-stacked body Jacobians,
+TPU-first CRBA/RNEA formulation. Instead of per-body J^T I J chains (13
+small einsums that map terribly onto the MXU/VPU — measured ~6 ms at 4096
+envs), the mass matrix is assembled from joint screws and composite
+inertias:
 
-    M = sum_b J_b^T I_b J_b          (CRBA, world/Plücker-at-base frame)
-    C = sum_b J_b^T (I_b a_b + v_b ×* I_b v_b)   (RNEA forward pass only)
+    M[i, j] = S_i . (IC_{deeper(i,j)} S_j)        (CRBA)
 
-which XLA fuses into a handful of batched matmuls over the env axis — the
-layout the MXU/VPU want (SURVEY.md §7 "hard parts" #3). Replaces the
-reference's closed-source PhysX step (gym.simulate,
+with ONE batched (nv,6)x(6,nv) contraction plus a static ancestry mask, and
+the bias via a subtree force accumulation
+
+    C[i]    = S_i . g_{body(i)},   g_b = sum_{subtree(b)} (I a_b + v x* I v)
+
+Replaces the reference's closed-source PhysX step (gym.simulate,
 /root/reference/humanoid/envs/custom/humanoid_env.py:645).
 
 Generalized coordinates:
   q   = (base_pos (3), base_quat wxyz (4), qj (nj,))
   u   = [omega_base_world (3), v_base_world (3), qdot (nj,)]
-Accelerations returned are *conventional* time derivatives of u (the spatial
--> conventional correction omega × v is applied on the linear part), so a
-semi-implicit Euler update of u is exact to first order.
+All spatial quantities live in a world-aligned Plücker frame at the base
+origin ("A = p0"), making the base's 6 unit screws trivial. Accelerations
+returned are *conventional* derivatives of u (the spatial->conventional
+correction omega x v is applied to the linear part).
 """
 from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
+import numpy as np
 
-from .kinematics import body_velocities, fk, jacobians, spatial_inertias
+from .kinematics import fk
 from .model import RobotModel
-from .spatial import crf, crm
+from .spatial import quat_rotate, quat_to_mat, skew
 
 
 class DynamicsCache(NamedTuple):
     body_pos: jnp.ndarray   # (nb,3)
     body_quat: jnp.ndarray  # (nb,4)
-    J: jnp.ndarray          # (nb,6,nv)
     M: jnp.ndarray          # (nv,nv)
     C: jnp.ndarray          # (nv,) bias incl. gravity
     v_sp: jnp.ndarray       # (nb,6) spatial body velocities
+
+
+_DOF_MASK_CACHE: dict = {}
+
+
+def _dof_masks(model: RobotModel):
+    """Static ancestry mask (numpy constant baked into the graph); cached by
+    model identity (RobotModel holds unhashable numpy arrays)."""
+    hit = _DOF_MASK_CACHE.get(id(model))
+    if hit is not None:
+        return jnp.asarray(hit)
+    nv, nj, nb = model.nv, model.nj, model.nj + 1
+    anc = model.ancestor_matrix()          # (nb, nj): joint j on path to b
+    D = np.zeros((nv, nv))
+    D[:6, :] = 1.0                         # base dofs precede everything
+    # within the mutually-coupled base block keep one triangle only, or the
+    # U + U^T symmetrization double-counts it
+    D[:6, :6] = np.triu(np.ones((6, 6)))
+    for a in range(nj):
+        for b in range(nj):
+            if anc[b + 1, a]:
+                D[6 + a, 6 + b] = 1.0      # joint a is ancestor-or-self of b
+    _DOF_MASK_CACHE[id(model)] = D
+    return jnp.asarray(D)
 
 
 def compute_dynamics(
@@ -47,41 +75,86 @@ def compute_dynamics(
     u,
     mass: Optional[jnp.ndarray] = None,
 ) -> DynamicsCache:
+    nj, nb, nv = model.nj, model.nj + 1, model.nv
     body_pos, body_quat = fk(model, base_pos, base_quat, qj)
-    J = jacobians(model, body_pos, body_quat)
-    I_sp, _ = spatial_inertias(model, body_pos, body_quat, mass)
+    A = body_pos[0]
 
-    # M = sum_b J_b^T I_b J_b  (+ armature on the joint diagonal)
-    M = jnp.einsum("bki,bkl,blj->ij", J, I_sp, J)
-    arm = jnp.concatenate(
-        [jnp.zeros(6), jnp.asarray(model.dof_armature)]
+    # ---- joint screws in the Plücker-at-base frame ----
+    w = quat_rotate(body_quat[1:], jnp.asarray(model.joint_axis))   # (nj,3)
+    anchors = body_pos[1:] - A                                       # (nj,3)
+    S_j = jnp.concatenate([w, jnp.cross(anchors, w)], axis=-1)       # (nj,6)
+    S = jnp.concatenate([jnp.eye(6, dtype=S_j.dtype), S_j], axis=0)  # (nv,6)
+
+    # ---- per-body spatial inertias (vectorized over bodies) ----
+    if mass is None:
+        mass = jnp.asarray(model.mass)
+    R = quat_to_mat(body_quat)                                       # (nb,3,3)
+    com_w = body_pos + jnp.einsum("bij,bj->bi", R, jnp.asarray(model.com))
+    I_w = jnp.einsum(
+        "bij,bjk,blk->bil", R, jnp.asarray(model.inertia), R
     )
+    r = com_w - A
+    rx = skew(r)                                                     # (nb,3,3)
+    m3 = mass[:, None, None]
+    top = jnp.concatenate(
+        [I_w + m3 * rx @ jnp.swapaxes(rx, -1, -2), m3 * rx], axis=-1
+    )
+    bot = jnp.concatenate(
+        [m3 * jnp.swapaxes(rx, -1, -2),
+         m3 * jnp.broadcast_to(jnp.eye(3), rx.shape)], axis=-1
+    )
+    I_sp = jnp.concatenate([top, bot], axis=-2)                      # (nb,6,6)
+
+    # ---- composite inertias (reverse topological accumulation) ----
+    IC = [I_sp[b] for b in range(nb)]
+    for b in range(nb - 1, 0, -1):
+        p = int(model.parent[b])
+        IC[p] = IC[p] + IC[b]
+    IC_dof = jnp.stack([IC[0]] * 6 + [IC[b] for b in range(1, nb)])  # (nv,6,6)
+
+    # ---- CRBA: M = D∘(S F^T) symmetrized ----
+    F = jnp.einsum("vij,vj->vi", IC_dof, S)                          # (nv,6)
+    U = (S @ F.T) * _dof_masks(model)
+    M = U + U.T - jnp.diag(jnp.diag(U))
+    arm = jnp.concatenate([jnp.zeros(6), jnp.asarray(model.dof_armature)])
     M = M + jnp.diag(arm)
 
-    # bias: forward pass with qddot = 0 and the gravity trick
-    # a_base = [0; -g] => C includes gravity.
-    v_sp, w_axes = body_velocities(model, body_pos, body_quat, u)
-    A = body_pos[0]
-    g = jnp.array([0.0, 0.0, model.gravity])
-    a = [jnp.concatenate([jnp.zeros(3), -g])]
-    for k in range(model.nj):
+    # ---- bias: velocity + bias-acceleration passes, subtree force sum ----
+    v = [jnp.concatenate([u[0:3], u[3:6]])]
+    g_vec = jnp.array([0.0, 0.0, model.gravity])
+    a = [jnp.concatenate([jnp.zeros(3), -g_vec])]                    # gravity trick
+    for k in range(nj):
         p = int(model.parent[k + 1])
-        anchor = body_pos[k + 1] - A
-        S = jnp.concatenate([w_axes[k], jnp.cross(anchor, w_axes[k])])
-        vJ = S * u[6 + k]
-        a.append(a[p] + crm(v_sp[k + 1]) @ vJ)
-    a_sp = jnp.stack(a)  # (nb,6)
+        vJ = S_j[k] * u[6 + k]
+        vb = v[p] + vJ
+        v.append(vb)
+        # crm(v_b) @ vJ with explicit 3-crosses
+        aw = jnp.cross(vb[0:3], vJ[0:3])
+        al = jnp.cross(vb[3:6], vJ[0:3]) + jnp.cross(vb[0:3], vJ[3:6])
+        a.append(a[p] + jnp.concatenate([aw, al]))
+    v_sp = jnp.stack(v)                                              # (nb,6)
+    a_sp = jnp.stack(a)
 
     Iv = jnp.einsum("bij,bj->bi", I_sp, v_sp)
-    f = jnp.einsum("bij,bj->bi", I_sp, a_sp) + jnp.einsum(
-        "bij,bj->bi", crf(v_sp), Iv
-    )
-    C = jnp.einsum("bij,bi->j", J, f)
-    # URDF joint damping as part of the bias
+    Ia = jnp.einsum("bij,bj->bi", I_sp, a_sp)
+    # crf(v) @ Iv = [w x n + vl x f ; w x f]
+    n_, f_ = Iv[:, 0:3], Iv[:, 3:6]
+    wv, vl = v_sp[:, 0:3], v_sp[:, 3:6]
+    f_b = Ia + jnp.concatenate(
+        [jnp.cross(wv, n_) + jnp.cross(vl, f_), jnp.cross(wv, f_)], axis=-1
+    )                                                                # (nb,6)
+
+    g = [f_b[b] for b in range(nb)]
+    for b in range(nb - 1, 0, -1):
+        p = int(model.parent[b])
+        g[p] = g[p] + g[b]
+    C_base = g[0]
+    C_j = jnp.einsum("vj,vj->v", S_j, jnp.stack(g[1:]))
+    C = jnp.concatenate([C_base, C_j])
     C = C + jnp.concatenate(
         [jnp.zeros(6), jnp.asarray(model.dof_damping) * u[6:]]
     )
-    return DynamicsCache(body_pos, body_quat, J, M, C, v_sp)
+    return DynamicsCache(body_pos, body_quat, M, C, v_sp)
 
 
 def forward_accel(cache: DynamicsCache, tau_gen, u):
@@ -90,11 +163,10 @@ def forward_accel(cache: DynamicsCache, tau_gen, u):
     tau_gen: (nv,) generalized forces (joint torques in [6:], plus any
     J^T-mapped external/contact forces).
     """
-    from jax.scipy.linalg import cho_solve
+    from ..ops.linalg import chol_solve_unrolled
 
     rhs = tau_gen - cache.C
-    L = jnp.linalg.cholesky(cache.M)
-    udot = cho_solve((L, True), rhs)
+    udot = chol_solve_unrolled(cache.M, rhs)
     # spatial -> conventional acceleration of the base origin point
     omega = u[0:3]
     v = u[3:6]

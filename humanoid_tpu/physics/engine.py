@@ -126,3 +126,89 @@ def control_step(
     state, diags = jax.lax.scan(body, state, None, length=decimation)
     last = jax.tree.map(lambda x: x[-1], diags)
     return state, last
+
+
+# ---------------------------------------------------------------------------
+# Batch-level stepping: the production path.
+#
+# vmap(substep) would push the mass-matrix solve through vmap's batching
+# rules; instead we vmap only the tree algebra and hand the (N, nv, nv)
+# solve to the Pallas batched-Cholesky kernel (ops/linalg.py), which is the
+# hot op on TPU (13.3 ms stock XLA -> sub-ms).
+# ---------------------------------------------------------------------------
+
+def substep_batch(
+    model: RobotModel,
+    params: EnvPhysParams,      # batched leaves: masses (N, nb), friction (N,)
+    terrain: Terrain,
+    contact_params: ContactParams,
+    state: PhysState,           # batched (N, ...)
+    tau_j: jnp.ndarray,         # (N, nj)
+    dt: float,
+) -> Tuple[PhysState, PhysDiag]:
+    from ..ops.linalg import solve_spd_batch
+    from .dynamics import compute_dynamics
+
+    N = tau_j.shape[0]
+    cache = jax.vmap(
+        lambda bp, bq, qj, u, m: compute_dynamics(model, bp, bq, qj, u, mass=m)
+    )(state.base_pos, state.base_quat, state.qj, state.u, params.masses)
+    ci = jax.vmap(
+        lambda bp, bq, v, mu: contact_forces(
+            model, bp, bq, v, terrain, mu, contact_params
+        )
+    )(cache.body_pos, cache.body_quat, cache.v_sp, params.friction)
+
+    tau_gen = (
+        jnp.concatenate([jnp.zeros((N, 6), tau_j.dtype), tau_j], axis=1)
+        + ci.tau_gen
+    )
+    rhs = tau_gen - cache.C
+    udot = solve_spd_batch(cache.M, rhs)
+    # spatial -> conventional acceleration of the base origin point
+    omega = state.u[:, 0:3]
+    v = state.u[:, 3:6]
+    lin = udot[:, 3:6] + jnp.cross(omega, v)
+    udot = jnp.concatenate([udot[:, 0:3], lin, udot[:, 6:]], axis=1)
+
+    u_new = state.u + dt * udot
+    new_state = PhysState(
+        base_pos=state.base_pos + dt * u_new[:, 3:6],
+        base_quat=quat_integrate(state.base_quat, u_new[:, 0:3], dt),
+        qj=state.qj + dt * u_new[:, 6:],
+        u=u_new,
+    )
+    n_feet = len(model.foot_bodies)
+    diag = PhysDiag(
+        body_pos=cache.body_pos,
+        body_quat=cache.body_quat,
+        body_omega=cache.v_sp[:, :, 0:3],
+        foot_forces=ci.point_forces.reshape(N, n_feet, -1, 3).sum(axis=2),
+        term_force=ci.term_force,
+        tau=tau_j,
+    )
+    return new_state, diag
+
+
+def control_step_batch(
+    model: RobotModel,
+    params: EnvPhysParams,
+    terrain: Terrain,
+    contact_params: ContactParams,
+    state: PhysState,
+    torque_fn: Callable[[PhysState], jnp.ndarray],
+    decimation: int,
+    dt: float,
+) -> Tuple[PhysState, PhysDiag]:
+    """Batched decimated control step (PD recomputed each substep)."""
+
+    def body(s, _):
+        tau = torque_fn(s)
+        s2, diag = substep_batch(
+            model, params, terrain, contact_params, s, tau, dt
+        )
+        return s2, diag
+
+    state, diags = jax.lax.scan(body, state, None, length=decimation)
+    last = jax.tree.map(lambda x: x[-1], diags)
+    return state, last

@@ -25,7 +25,7 @@ def model():
 
 @pytest.fixture(scope="module")
 def stepper(model):
-    terrain = Terrain.flat()
+    terrain = Terrain.plane()
     cp = ContactParams()
     params = default_phys_params(model)
 
@@ -89,7 +89,7 @@ def test_no_contact_above_ground(stepper):
 
 def test_termination_contact_when_fallen(model, stepper):
     """A base dropped at ground level registers termination contact force."""
-    terrain = Terrain.flat()
+    terrain = Terrain.plane()
     cp = ContactParams()
     params = default_phys_params(model)
 
@@ -111,7 +111,7 @@ def test_termination_contact_when_fallen(model, stepper):
 def test_batched_vmap(model):
     """The engine vmaps over the env axis (the only parallel dimension,
     SURVEY.md §2 'parallelism')."""
-    terrain = Terrain.flat()
+    terrain = Terrain.plane()
     cp = ContactParams()
     params = default_phys_params(model)
 
