@@ -200,10 +200,13 @@ class OnPolicyRunner:
         num_iterations: int,
         init_at_random_ep_len: bool = True,
         log_fn=None,
+        carry: Optional[IterationCarry] = None,
     ) -> IterationCarry:
-        carry = self.init_carry(init_at_random_ep_len)
+        if carry is None:
+            carry = self.init_carry(init_at_random_ep_len)
         N = self.env.cfg.env.num_envs
         T = self.cfg.runner.num_steps_per_env
+        save_every = self.cfg.runner.save_interval
         for it in range(num_iterations):
             t0 = time.time()
             carry, metrics = self._train_iter(carry)
@@ -214,7 +217,43 @@ class OnPolicyRunner:
             if log_fn is not None:
                 fps = T * N / dt_iter
                 log_fn(self.iteration, metrics, fps, dt_iter)
+            if self.log_dir and save_every and self.iteration % save_every == 0:
+                self.save()
+        if self.log_dir:
+            self.save()
         return carry
+
+    # ------------------------------------------------------------------
+
+    def _ckpt_payload(self):
+        return {
+            "params": self.train_state.params,
+            "opt_state": self.train_state.opt_state,
+            "lr": self.train_state.lr,
+            "iteration": jnp.asarray(self.iteration),
+        }
+
+    def save(self, path: Optional[str] = None) -> str:
+        """Checkpoint model+optimizer+iteration (on_policy_runner.py:293-302)."""
+        import os
+
+        from ..utils.checkpoint import save_checkpoint
+
+        path = path or os.path.join(self.log_dir, f"model_{self.iteration}")
+        save_checkpoint(path, self._ckpt_payload())
+        return path
+
+    def load(self, path: str, load_optimizer: bool = True) -> None:
+        from ..utils.checkpoint import load_checkpoint
+
+        restored = load_checkpoint(path, self._ckpt_payload())
+        ts = self.train_state
+        self.train_state = ts._replace(
+            params=restored["params"],
+            opt_state=restored["opt_state"] if load_optimizer else ts.opt_state,
+            lr=restored["lr"] if load_optimizer else ts.lr,
+        )
+        self.iteration = int(restored["iteration"])
 
     # ------------------------------------------------------------------
 

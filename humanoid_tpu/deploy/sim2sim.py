@@ -1,0 +1,195 @@
+"""Sim2sim: replay an exported policy in MuJoCo (CPU) — the fidelity gate.
+
+Rebuild of the reference harness (/root/reference/humanoid/scripts/
+sim2sim.py:97-282): a 1 kHz MuJoCo loop with a 100 Hz policy, observations
+assembled *independently* from MuJoCo state exactly like the reference
+(sin/cos phase from the low-level counter, joystick command, scaled q/dq,
+last action, body-frame angular velocity, euler angles; 15-frame stack),
+1 kHz PD torque control with clamping. Surviving `duration` seconds of
+walking is the acceptance criterion (SURVEY.md §4.2).
+
+Headless by default; returns metrics instead of rendering.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from collections import deque
+from typing import Callable, Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Sim2simCfg:
+    """12-dof XBot values (reference sim2sim.py:296-309 commented block =
+    the canonical XBot config)."""
+    mujoco_model_path: str = ""
+    sim_duration: float = 60.0
+    dt: float = 0.001
+    decimation: int = 10
+    # joint order: [leg_roll, leg_yaw, leg_pitch, knee, ankle_pitch,
+    # ankle_roll] per leg
+    kps: tuple = (200, 200, 350, 350, 15, 15, 200, 200, 350, 350, 15, 15)
+    kds: tuple = (10,) * 12
+    tau_limit: float = 200.0
+    num_actions: int = 12
+    num_single_obs: int = 47
+    frame_stack: int = 15
+    cycle_time: float = 0.64
+    action_scale: float = 0.25
+    clip_observations: float = 18.0
+    clip_actions: float = 18.0
+    obs_scale_lin_vel: float = 2.0
+    obs_scale_ang_vel: float = 1.0
+    obs_scale_dof_pos: float = 1.0
+    obs_scale_dof_vel: float = 0.05
+    default_pos: tuple = (0.0,) * 12
+    base_init_z: float = 0.93     # reference sim2sim.py:166
+    # fall detection for the metric (not in the reference viewer loop)
+    min_base_height: float = 0.45
+
+
+def _quat_to_euler(quat_wxyz):
+    w, x, y, z = quat_wxyz
+    roll = math.atan2(2 * (w * x + y * z), 1 - 2 * (x * x + y * y))
+    pitch = math.asin(max(-1.0, min(1.0, 2 * (w * y - z * x))))
+    yaw = math.atan2(2 * (w * z + x * y), 1 - 2 * (y * y + z * z))
+    return np.array([roll, pitch, yaw])
+
+
+def run_mujoco(
+    policy: Callable[[np.ndarray], np.ndarray],
+    cfg: Sim2simCfg,
+    command=(0.5, 0.0, 0.0),
+    push_schedule: Optional[Callable[[float], np.ndarray]] = None,
+    record_states: bool = False,
+):
+    """Replay `policy` (maps (1, frame_stack*K) obs -> (nj,) action).
+
+    Returns a metrics dict: survived seconds, distance, mean speed."""
+    import mujoco
+
+    from ..assets import prepare_mujoco_xml
+
+    path = cfg.mujoco_model_path or prepare_mujoco_xml()
+    model = mujoco.MjModel.from_xml_path(path)
+    model.opt.timestep = cfg.dt
+    data = mujoco.MjData(model)
+    base_id = mujoco.mj_name2id(model, mujoco.mjtObj.mjOBJ_BODY, "base_link")
+    # initial pose: default joint angles + base height (sim2sim.py:141-166;
+    # qpos base z is relative to the MJCF body offset)
+    data.qpos[-cfg.num_actions:] = np.asarray(cfg.default_pos)
+    data.qpos[2] = cfg.base_init_z - model.body_pos[base_id][2]
+    mujoco.mj_step(model, data)
+
+    nj = cfg.num_actions
+    kps = np.asarray(cfg.kps, dtype=np.float64)
+    kds = np.asarray(cfg.kds, dtype=np.float64)
+    default_pos = np.asarray(cfg.default_pos, dtype=np.float64)
+    hist_obs = deque(
+        [np.zeros((1, cfg.num_single_obs), dtype=np.float32)] * cfg.frame_stack,
+        maxlen=cfg.frame_stack,
+    )
+    action = np.zeros(nj, dtype=np.float64)
+    target_q = default_pos.copy()
+    cmd = np.asarray(command, dtype=np.float64)
+
+    n_steps = int(cfg.sim_duration / cfg.dt)
+    start_xy = data.qpos[0:2].copy()
+    survived = cfg.sim_duration
+    states = []
+    count_lowlevel = 0
+    for step in range(n_steps):
+        q = data.qpos[-nj:].astype(np.float64)
+        dq = data.qvel[-nj:].astype(np.float64)
+        quat = data.qpos[3:7].astype(np.float64)        # wxyz
+        omega_body = data.qvel[3:6].astype(np.float64)  # free joint: body frame
+
+        if count_lowlevel % cfg.decimation == 0:
+            obs = np.zeros((1, cfg.num_single_obs), dtype=np.float32)
+            eu = _quat_to_euler(quat)
+            eu[eu > math.pi] -= 2 * math.pi
+            phase = 2 * math.pi * count_lowlevel * cfg.dt / cfg.cycle_time
+            obs[0, 0] = math.sin(phase)
+            obs[0, 1] = math.cos(phase)
+            obs[0, 2] = cmd[0] * cfg.obs_scale_lin_vel
+            obs[0, 3] = cmd[1] * cfg.obs_scale_lin_vel
+            obs[0, 4] = cmd[2] * cfg.obs_scale_ang_vel
+            obs[0, 5 : 5 + nj] = (q - default_pos) * cfg.obs_scale_dof_pos
+            obs[0, 5 + nj : 5 + 2 * nj] = dq * cfg.obs_scale_dof_vel
+            obs[0, 5 + 2 * nj : 5 + 3 * nj] = action
+            obs[0, 5 + 3 * nj : 8 + 3 * nj] = omega_body
+            obs[0, 8 + 3 * nj : 11 + 3 * nj] = eu
+            obs = np.clip(obs, -cfg.clip_observations, cfg.clip_observations)
+            hist_obs.append(obs)
+            policy_input = np.concatenate(
+                [hist_obs[i] for i in range(cfg.frame_stack)], axis=1
+            )
+            action = np.asarray(policy(policy_input)).reshape(nj)
+            action = np.clip(action, -cfg.clip_actions, cfg.clip_actions)
+            target_q = action * cfg.action_scale + default_pos
+
+        tau = kps * (target_q - q) - kds * dq
+        tau = np.clip(tau, -cfg.tau_limit, cfg.tau_limit)
+        data.ctrl[:] = tau
+
+        if push_schedule is not None:
+            data.xfrc_applied[base_id][:3] = push_schedule(step * cfg.dt)
+
+        mujoco.mj_step(model, data)
+        count_lowlevel += 1
+
+        base_z = data.qpos[2] + model.body_pos[base_id][2]
+        if record_states and count_lowlevel % cfg.decimation == 0:
+            states.append(
+                np.concatenate([data.qpos.copy(), data.qvel.copy()])
+            )
+        if base_z < cfg.min_base_height or not np.isfinite(data.qpos).all():
+            survived = step * cfg.dt
+            break
+
+    dist = float(np.linalg.norm(data.qpos[0:2] - start_xy))
+    out = {
+        "survived_s": float(survived),
+        "distance_m": dist,
+        "mean_speed": dist / max(survived, 1e-6),
+        "final_base_z": float(data.qpos[2] + model.body_pos[base_id][2]),
+    }
+    if record_states:
+        out["states"] = np.array(states)
+    return out
+
+
+def main(argv=None):
+    import argparse
+
+    from .npz_policy import NpzPolicy
+
+    p = argparse.ArgumentParser(description="MuJoCo sim2sim gate")
+    p.add_argument("--load-model", "--load_model", dest="load_model",
+                   required=True, help=".npz exported policy")
+    p.add_argument("--duration", type=float, default=60.0)
+    p.add_argument("--terrain", action="store_true")
+    p.add_argument("--cmd", type=float, nargs=3, default=[0.5, 0.0, 0.0])
+    args = p.parse_args(argv)
+
+    from ..assets import XBOT_MJCF, XBOT_MJCF_TERRAIN, prepare_mujoco_xml
+
+    cfg = Sim2simCfg(
+        sim_duration=args.duration,
+        mujoco_model_path=prepare_mujoco_xml(
+            XBOT_MJCF_TERRAIN if args.terrain else XBOT_MJCF
+        ),
+    )
+    policy = NpzPolicy(args.load_model)
+    metrics = run_mujoco(policy, cfg, command=tuple(args.cmd))
+    print(metrics)
+    return metrics
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    main()

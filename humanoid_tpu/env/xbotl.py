@@ -63,6 +63,10 @@ class EnvState(NamedTuple):
     obs_hist: jnp.ndarray           # (N, frame_stack, K)
     critic_hist: jnp.ndarray        # (N, c_frame_stack, K')
     episode_sums: jnp.ndarray       # (N, n_rew)
+    # terrain curriculum (legged_robot.py:541-560 semantics; zeros on plane)
+    env_origins: jnp.ndarray        # (N, 3)
+    terrain_levels: jnp.ndarray     # (N,) int32
+    terrain_types: jnp.ndarray      # (N,) int32
 
 
 class StepOutput(NamedTuple):
@@ -88,6 +92,7 @@ class XBotLEnv:
         model: Optional[RobotModel] = None,
         terrain: Optional[Terrain] = None,
         env_origins: Optional[np.ndarray] = None,
+        terrain_world=None,
     ):
         self.cfg = cfg
         self.model = model or load_urdf(
@@ -124,7 +129,15 @@ class XBotLEnv:
         self.noise_vec = self._build_noise_vec()
 
         N = cfg.env.num_envs
-        if env_origins is None:
+        self.terrain_world = terrain_world
+        self.custom_origins = terrain_world is not None
+        if self.custom_origins:
+            self.terrain_origins = jnp.asarray(
+                terrain_world.env_origins, dtype=jnp.float32
+            )
+            self.max_terrain_level = terrain_world.num_rows
+            env_origins = np.zeros((N, 3), dtype=np.float32)  # set per state
+        elif env_origins is None:
             # plane grid (legged_robot.py:873-878 semantics)
             cols = int(np.floor(np.sqrt(N)))
             rows = int(np.ceil(N / cols))
@@ -209,16 +222,22 @@ class XBotLEnv:
         keep = jnp.linalg.norm(cmds[:, 0:2], axis=1) > 0.2
         return cmds.at[:, 0:2].multiply(keep[:, None].astype(cmds.dtype))
 
-    def _reset_phys(self, key, n):
+    def _reset_phys(self, key, n, env_origins=None):
         """Fresh PhysState batch for n envs (humanoid_env.py:1036-1052)."""
         cfg = self.cfg
-        kq, = jax.random.split(key, 1)
+        kq, kxy = jax.random.split(key, 2)
         qj = self.default_dof_pos + jax.random.uniform(
             kq, (n, self.nj),
             minval=-cfg.init_state.reset_dof_rand,
             maxval=cfg.init_state.reset_dof_rand,
         )
-        base_pos = jnp.asarray(cfg.init_state.pos) + self.env_origins[:n]
+        origins = env_origins if env_origins is not None else self.env_origins[:n]
+        base_pos = jnp.asarray(cfg.init_state.pos) + origins
+        if self.custom_origins:
+            # xy jitter within 1 m of the cell center (humanoid_env.py:1060)
+            base_pos = base_pos.at[:, 0:2].add(
+                jax.random.uniform(kxy, (n, 2), minval=-1.0, maxval=1.0)
+            )
         return PhysState(
             base_pos=base_pos,
             base_quat=jnp.tile(jnp.array([1.0, 0.0, 0.0, 0.0]), (n, 1)),
@@ -255,10 +274,30 @@ class XBotLEnv:
             )
             masses = masses.at[:, 0].add(added)
 
+        if self.custom_origins:
+            kl, kq2 = jax.random.split(kq)
+            max_init = (
+                cfg.terrain.max_init_terrain_level
+                if cfg.terrain.curriculum
+                else self.max_terrain_level - 1
+            )
+            terrain_levels = jax.random.randint(
+                kl, (N,), 0, max_init + 1
+            )
+            terrain_types = (
+                jnp.arange(N) * self.terrain_world.num_cols // N
+            ).astype(jnp.int32)
+            env_origins = self.terrain_origins[terrain_levels, terrain_types]
+            kq = kq2
+        else:
+            terrain_levels = jnp.zeros(N, dtype=jnp.int32)
+            terrain_types = jnp.zeros(N, dtype=jnp.int32)
+            env_origins = self.env_origins
+
         nK = cfg.env.num_single_obs
         nKp = cfg.env.single_num_privileged_obs
         return EnvState(
-            phys=self._reset_phys(kq, N),
+            phys=self._reset_phys(kq, N, env_origins),
             masses=masses,
             friction=friction,
             episode_length=jnp.zeros(N, dtype=jnp.int32),
@@ -278,6 +317,9 @@ class XBotLEnv:
             obs_hist=jnp.zeros((N, cfg.env.frame_stack, nK)),
             critic_hist=jnp.zeros((N, cfg.env.c_frame_stack, nKp)),
             episode_sums=jnp.zeros((N, self.n_rew)),
+            env_origins=env_origins,
+            terrain_levels=terrain_levels,
+            terrain_types=terrain_types,
         )
 
     # ------------------------------------------------------------------
@@ -438,7 +480,38 @@ class XBotLEnv:
 
         # ---- 6. masked auto-reset (humanoid_env.py:1109-1163) ----
         r = reset_buf[:, None]
-        fresh_phys = self._reset_phys(k_reset_q, N)
+
+        # terrain game curriculum (humanoid_env.py:1078-1095): applied to
+        # envs being reset, before respawning them at their (new) origin
+        env_origins = state.env_origins
+        terrain_levels = state.terrain_levels
+        if self.custom_origins and cfg.terrain.curriculum:
+            dist = jnp.linalg.norm(
+                phys.base_pos[:, 0:2] - env_origins[:, 0:2], axis=1
+            )
+            move_up = dist > self.terrain_world.terrain_length / 2
+            required = (
+                jnp.linalg.norm(commands[:, 0:2], axis=1)
+                * cfg.env.episode_length_s * 0.5
+            )
+            move_down = (dist < required) & (~move_up)
+            new_levels = terrain_levels + move_up.astype(jnp.int32) - move_down.astype(jnp.int32)
+            k_lvl, k_reset_q = jax.random.split(k_reset_q)
+            rand_lvl = jax.random.randint(
+                k_lvl, new_levels.shape, 0, self.max_terrain_level
+            )
+            new_levels = jnp.where(
+                new_levels >= self.max_terrain_level, rand_lvl,
+                jnp.maximum(new_levels, 0),
+            )
+            terrain_levels = jnp.where(reset_buf, new_levels, terrain_levels)
+            env_origins = jnp.where(
+                r,
+                self.terrain_origins[terrain_levels, state.terrain_types],
+                env_origins,
+            )
+
+        fresh_phys = self._reset_phys(k_reset_q, N, env_origins)
         phys = PhysState(
             base_pos=jnp.where(r, fresh_phys.base_pos, phys.base_pos),
             base_quat=jnp.where(r, fresh_phys.base_quat, phys.base_quat),
@@ -555,6 +628,9 @@ class XBotLEnv:
             obs_hist=obs_hist,
             critic_hist=critic_hist,
             episode_sums=episode_sums,
+            env_origins=env_origins,
+            terrain_levels=terrain_levels,
+            terrain_types=state.terrain_types,
         )
         out = StepOutput(
             obs=obs,

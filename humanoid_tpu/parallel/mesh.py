@@ -1,0 +1,38 @@
+"""Multi-chip sharding: the env axis is the only parallel dimension.
+
+The reference is single-process/single-GPU (SURVEY.md §2 'parallelism');
+the TPU-native distributed story (SURVEY.md §5.8) is pure data parallelism
+over envs: a 1-D device mesh, env-axis-sharded simulation state (zero
+cross-chip traffic during rollout — envs never interact), replicated
+parameters, and XLA-inserted collectives for the few global reductions
+(advantage mean/std, gradient all-reduce) via GSPMD.
+
+Multi-host: call jax.distributed.initialize() before building the mesh;
+jax.devices() then spans all hosts and the same code runs unchanged.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    return Mesh(np.array(devices), ("env",))
+
+
+def shard_env_pytree(tree, mesh: Mesh, num_envs: int):
+    """Place every leaf with leading dim == num_envs on the env axis;
+    replicate everything else (params, scalars, counters)."""
+    env_s = NamedSharding(mesh, P("env"))
+    rep_s = NamedSharding(mesh, P())
+
+    def place(x):
+        if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] == num_envs:
+            return jax.device_put(x, env_s)
+        return jax.device_put(x, rep_s)
+
+    return jax.tree.map(place, tree)

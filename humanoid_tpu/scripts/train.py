@@ -1,0 +1,72 @@
+"""Training entry point (reference scripts/train.py).
+
+  python -m humanoid_tpu.scripts.train --task humanoid_ppo \
+      --num-envs 4096 --max-iterations 3001
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def get_args(argv=None):
+    """CLI surface mirroring the reference get_args (helpers.py:161-239),
+    minus Isaac-specific device plumbing (JAX owns device selection)."""
+    p = argparse.ArgumentParser(description="humanoid_tpu trainer")
+    p.add_argument("--task", default="humanoid_ppo")
+    p.add_argument("--num-envs", "--num_envs", dest="num_envs", type=int)
+    p.add_argument("--seed", type=int)
+    p.add_argument("--max-iterations", "--max_iterations",
+                   dest="max_iterations", type=int)
+    p.add_argument("--experiment-name", "--experiment_name",
+                   dest="experiment_name")
+    p.add_argument("--run-name", "--run_name", dest="run_name")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--load-run", "--load_run", dest="load_run", default="-1")
+    p.add_argument("--checkpoint", type=int, default=-1)
+    p.add_argument("--terrain", choices=["plane", "heightfield"])
+    p.add_argument("--log-root", dest="log_root")
+    return p.parse_args(argv)
+
+
+def train(args) -> None:
+    import os
+
+    from ..utils import registry
+    from ..utils.checkpoint import get_load_path
+    from ..utils.logging import TrainLogger
+
+    env, env_cfg = registry.make_env(args.task, args)
+    runner, train_cfg = registry.make_alg_runner(
+        env, args.task, args, log_root=args.log_root
+    )
+    if args.resume:
+        root = os.path.join(
+            args.log_root or registry.LOG_ROOT,
+            train_cfg.runner.experiment_name,
+        )
+        path = get_load_path(root, args.load_run, args.checkpoint)
+        print(f"resuming from {path}")
+        runner.load(path)
+
+    logger = TrainLogger(
+        runner.log_dir, env.reward_names, env_cfg, train_cfg
+    )
+    total = args.max_iterations or train_cfg.runner.max_iterations
+
+    def log_fn(it, metrics, fps, dt):
+        scalars = logger.log(it, metrics, fps, dt)
+        if it % train_cfg.runner.log_interval == 0:
+            print(logger.console(it, total, scalars), flush=True)
+
+    print(f"task={args.task} envs={env_cfg.env.num_envs} "
+          f"iters={total} log_dir={runner.log_dir}")
+    try:
+        runner.learn(total, init_at_random_ep_len=True, log_fn=log_fn)
+    finally:
+        logger.close()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, "/root/repo")
+    train(get_args())

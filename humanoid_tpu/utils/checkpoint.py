@@ -1,0 +1,56 @@
+"""Checkpoint save/restore (reference OnPolicyRunner.save/load,
+on_policy_runner.py:293-310: model + optimizer + iteration).
+
+Uses orbax for the pytree payload; run/checkpoint discovery mirrors the
+reference's latest-run/latest-model resolution (helpers.py:109-132):
+logs/<experiment>/<datetime>_<run>/model_<iter>."""
+from __future__ import annotations
+
+import os
+import re
+from typing import Optional, Tuple
+
+import jax
+
+
+def save_checkpoint(path: str, payload) -> None:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint(path: str, template):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), target=template)
+
+
+def get_load_path(
+    root: str,
+    load_run: str = "-1",
+    checkpoint: int = -1,
+) -> str:
+    """Latest-run / latest-checkpoint discovery (helpers.py:109-132)."""
+    runs = sorted(
+        d for d in os.listdir(root)
+        if os.path.isdir(os.path.join(root, d))
+    )
+    if not runs:
+        raise FileNotFoundError(f"no runs in {root}")
+    run = runs[-1] if str(load_run) == "-1" else str(load_run)
+    run_dir = os.path.join(root, run)
+    if checkpoint == -1:
+        models = [
+            m for m in os.listdir(run_dir)
+            if re.match(r"model_\d+", m)
+        ]
+        if not models:
+            raise FileNotFoundError(f"no checkpoints in {run_dir}")
+        model = max(models, key=lambda m: int(m.split("_")[1]))
+    else:
+        model = f"model_{checkpoint}"
+    return os.path.join(run_dir, model)

@@ -1,0 +1,105 @@
+"""Training telemetry: console block + tensorboard + JSONL.
+
+Rebuild of the reference's logging stack (OnPolicyRunner.log,
+on_policy_runner.py:184-291): per-iteration losses, adaptive LR, action
+noise std, fps, mean episodic reward/length, and per-reward-term episode
+means, written to (a) a formatted console block, (b) tensorboard scalars if
+torch is importable (the reference uses torch SummaryWriter; wandb syncs
+tensorboard offline, on_policy_runner.py:96-102), (c) a JSONL file that
+anything can consume."""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+
+class TrainLogger:
+    def __init__(self, log_dir: Optional[str], reward_names, env_cfg,
+                 train_cfg, use_tensorboard: bool = True):
+        self.log_dir = log_dir
+        self.reward_names = reward_names
+        self.episode_length_s = env_cfg.env.episode_length_s
+        self.num_envs = env_cfg.env.num_envs
+        self.steps_per_env = train_cfg.runner.num_steps_per_env
+        self.tot_steps = 0
+        self.t_start = time.time()
+        self.writer = None
+        self.jsonl = None
+        if log_dir:
+            os.makedirs(log_dir, exist_ok=True)
+            self.jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+            if use_tensorboard:
+                try:
+                    from torch.utils.tensorboard import SummaryWriter
+
+                    self.writer = SummaryWriter(log_dir=log_dir, flush_secs=10)
+                except Exception:
+                    self.writer = None
+
+    def log(self, it: int, metrics, fps: float, iter_time: float) -> dict:
+        m = metrics
+        ep_count = max(1.0, float(m.ep_count))
+        mean_ep_rew = float(m.ep_rew_sums.sum()) / ep_count / self.episode_length_s
+        mean_ep_len = float(m.ep_len_sum) / ep_count
+        scalars = {
+            "Loss/value_function": float(m.update.value_loss),
+            "Loss/surrogate": float(m.update.surrogate_loss),
+            "Loss/base_lin_vel": float(m.update.vel_loss),
+            "Loss/sym": float(m.update.sym_loss),
+            "Loss/learning_rate": float(m.update.lr),
+            "Policy/mean_noise_std": float(m.mean_action_std),
+            "Policy/kl": float(m.update.kl),
+            "Train/mean_reward": mean_ep_rew,
+            "Train/mean_episode_length": mean_ep_len,
+            "Train/mean_step_reward": float(m.mean_step_reward),
+            "Perf/total_fps": fps,
+            "Perf/iter_time": iter_time,
+        }
+        rew_means = {}
+        for name, v in zip(self.reward_names, m.ep_rew_sums):
+            val = float(v) / ep_count / self.episode_length_s
+            scalars[f"Episode/rew_{name}"] = val
+            rew_means[name] = val
+        self.tot_steps += self.num_envs * self.steps_per_env
+
+        if self.writer is not None:
+            for k, v in scalars.items():
+                self.writer.add_scalar(k, v, it)
+        if self.jsonl is not None:
+            self.jsonl.write(json.dumps({"it": it, **scalars}) + "\n")
+            self.jsonl.flush()
+        return scalars
+
+    def console(self, it: int, total_iters: int, scalars: dict) -> str:
+        """Formatted block in the spirit of on_policy_runner.py:251-291."""
+        elapsed = time.time() - self.t_start
+        width = 68
+        lines = [
+            "#" * width,
+            f" Learning iteration {it}/{total_iters} ".center(width, " "),
+            "",
+            f"{'Computation:':>28} {scalars['Perf/total_fps']:,.0f} steps/s "
+            f"({self.num_envs} envs x {self.steps_per_env} steps)",
+            f"{'Value function loss:':>28} {scalars['Loss/value_function']:.4f}",
+            f"{'Surrogate loss:':>28} {scalars['Loss/surrogate']:.4f}",
+            f"{'Vel estimator loss:':>28} {scalars['Loss/base_lin_vel']:.4f}",
+            f"{'Learning rate:':>28} {scalars['Loss/learning_rate']:.2e}",
+            f"{'Mean action noise std:':>28} {scalars['Policy/mean_noise_std']:.2f}",
+            f"{'Mean reward:':>28} {scalars['Train/mean_reward']:.2f}",
+            f"{'Mean episode length:':>28} {scalars['Train/mean_episode_length']:.2f}",
+            "-" * width,
+            f"{'Total timesteps:':>28} {self.tot_steps:,}",
+            f"{'Iteration time:':>28} {scalars['Perf/iter_time']:.2f}s",
+            f"{'Total time:':>28} {elapsed:.2f}s",
+            f"{'ETA:':>28} "
+            f"{elapsed / max(1, it) * (total_iters - it):.1f}s",
+        ]
+        return "\n".join(lines)
+
+    def close(self):
+        if self.writer is not None:
+            self.writer.close()
+        if self.jsonl is not None:
+            self.jsonl.close()

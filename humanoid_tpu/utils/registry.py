@@ -1,0 +1,137 @@
+"""Task registry: name -> (env class, env cfg, train cfg).
+
+Rebuild of the reference task_registry (utils/task_registry.py:44-162):
+registration, CLI-override application, env/runner construction, and the
+log-dir naming scheme logs/<experiment>/<datetime>_<run>."""
+from __future__ import annotations
+
+import dataclasses
+import os
+from datetime import datetime
+from typing import Dict, Optional, Tuple, Type
+
+from ..config.structs import EnvCfg, RunnerCfg, TerrainCfg, XBotLCfg, XBotLCfgPPO
+
+LOG_ROOT = os.environ.get(
+    "HUMANOID_TPU_LOGS", os.path.join(os.path.dirname(__file__), "../../logs")
+)
+
+_REGISTRY: Dict[str, Tuple[type, XBotLCfg, XBotLCfgPPO]] = {}
+
+
+def register(name: str, env_class: type, env_cfg: XBotLCfg,
+             train_cfg: XBotLCfgPPO) -> None:
+    _REGISTRY[name] = (env_class, env_cfg, train_cfg)
+
+
+def get_cfgs(name: str) -> Tuple[XBotLCfg, XBotLCfgPPO]:
+    _, env_cfg, train_cfg = _REGISTRY[name]
+    return env_cfg, train_cfg
+
+
+def list_tasks():
+    return sorted(_REGISTRY)
+
+
+def update_cfg_from_args(env_cfg: XBotLCfg, train_cfg: XBotLCfgPPO, args):
+    """The reference's CLI override whitelist (helpers.py:135-158)."""
+    if getattr(args, "num_envs", None):
+        env_cfg = env_cfg.replace(
+            env=dataclasses.replace(env_cfg.env, num_envs=args.num_envs)
+        )
+    if getattr(args, "seed", None) is not None:
+        env_cfg = env_cfg.replace(seed=args.seed)
+        train_cfg = train_cfg.replace(seed=args.seed)
+    if getattr(args, "max_iterations", None):
+        train_cfg = train_cfg.replace(
+            runner=dataclasses.replace(
+                train_cfg.runner, max_iterations=args.max_iterations
+            )
+        )
+    if getattr(args, "experiment_name", None):
+        train_cfg = train_cfg.replace(
+            runner=dataclasses.replace(
+                train_cfg.runner, experiment_name=args.experiment_name
+            )
+        )
+    if getattr(args, "run_name", None):
+        train_cfg = train_cfg.replace(
+            runner=dataclasses.replace(
+                train_cfg.runner, run_name=args.run_name
+            )
+        )
+    if getattr(args, "resume", False):
+        train_cfg = train_cfg.replace(
+            runner=dataclasses.replace(train_cfg.runner, resume=True)
+        )
+    if getattr(args, "terrain", None):
+        env_cfg = env_cfg.replace(
+            terrain=dataclasses.replace(
+                env_cfg.terrain, mesh_type=args.terrain
+            )
+        )
+    return env_cfg, train_cfg
+
+
+def make_env(name: str, args=None, env_cfg: Optional[XBotLCfg] = None):
+    env_class, default_env_cfg, default_train_cfg = _REGISTRY[name]
+    cfg = env_cfg or default_env_cfg
+    tcfg = default_train_cfg
+    if args is not None:
+        cfg, tcfg = update_cfg_from_args(cfg, tcfg, args)
+    env = _build_env(env_class, cfg)
+    return env, cfg
+
+
+def _build_env(env_class, cfg: XBotLCfg):
+    if cfg.terrain.mesh_type in ("heightfield", "trimesh"):
+        import numpy as np
+
+        from ..env.terrain import build_terrain
+        from ..physics.contact import Terrain
+
+        world = build_terrain(cfg.terrain, seed=cfg.seed)
+        import jax.numpy as jnp
+
+        terrain = Terrain(
+            height=jnp.asarray(world.height, dtype=jnp.float32),
+            horizontal_scale=world.horizontal_scale,
+            border=world.border,
+            flat=False,
+        )
+        return env_class(cfg, terrain=terrain, terrain_world=world)
+    return env_class(cfg)
+
+
+def make_alg_runner(env, name: str, args=None, log_root: Optional[str] = None,
+                    train_cfg: Optional[XBotLCfgPPO] = None):
+    from ..algo.runner import OnPolicyRunner
+
+    _, default_env_cfg, default_train_cfg = _REGISTRY[name]
+    tcfg = train_cfg or default_train_cfg
+    if args is not None:
+        _, tcfg = update_cfg_from_args(default_env_cfg, tcfg, args)
+    root = log_root or LOG_ROOT
+    run_dir = os.path.join(
+        root,
+        tcfg.runner.experiment_name,
+        datetime.now().strftime("%b%d_%H-%M-%S") + "_" + tcfg.runner.run_name,
+    )
+    runner = OnPolicyRunner(env, tcfg, log_dir=run_dir)
+    return runner, tcfg
+
+
+def _register_builtin():
+    from ..env.xbotl import XBotLEnv
+
+    register("humanoid_ppo", XBotLEnv, XBotLCfg(), XBotLCfgPPO())
+    # terrain-curriculum variant of the same task (reference config 3)
+    register(
+        "humanoid_ppo_terrain",
+        XBotLEnv,
+        XBotLCfg(terrain=TerrainCfg(mesh_type="heightfield")),
+        XBotLCfgPPO(),
+    )
+
+
+_register_builtin()
