@@ -68,6 +68,18 @@ class OnPolicyRunner:
         # frame (rollout_storage.py:164 '53:56' = 5 + 4*nj for 12 dof)
         lo = 5 + 4 * ecfg.num_actions
         self.vel_slice = (lo, lo + 3)
+        # mirror-symmetry permutation matrices (ppo.py:92-105); only built
+        # when the loss is enabled so the default path ships no extra consts
+        if train_cfg.algorithm.sym_loss:
+            from .symmetry import xbot_perm_matrices
+
+            obs_perm, act_perm = xbot_perm_matrices(
+                frame_stack=ecfg.frame_stack, nj=ecfg.num_actions
+            )
+            self.obs_perm = jnp.asarray(obs_perm)
+            self.act_perm = jnp.asarray(act_perm)
+        else:
+            self.obs_perm = self.act_perm = None
         self.iteration = 0
         self._train_iter = jax.jit(self._train_iteration)
 
@@ -173,7 +185,8 @@ class OnPolicyRunner:
         )
         k_update, key = jax.random.split(key)
         ts, update_metrics = ppo_update(
-            net, acfg, ts, batch, k_update, self.vel_slice
+            net, acfg, ts, batch, k_update, self.vel_slice,
+            obs_perm=self.obs_perm, act_perm=self.act_perm,
         )
         step_rew, ep_rew_sums, ep_count, ep_len_sum, rew_terms = stats
         metrics = IterationMetrics(

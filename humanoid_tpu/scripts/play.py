@@ -1,0 +1,122 @@
+"""Policy evaluation / export (reference scripts/play.py).
+
+Loads the latest checkpoint, rolls the deterministic policy in a small
+noise/push-free env with a fixed forward command, exports the portable .npz
+policy + the open-loop action dump, logs joint/velocity/contact traces, and
+renders the eval dashboard PNG.
+
+  python -m humanoid_tpu.scripts.play --task humanoid_ppo --steps 300
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+import numpy as np
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser(description="humanoid_tpu eval")
+    p.add_argument("--task", default="humanoid_ppo")
+    p.add_argument("--num-envs", dest="num_envs", type=int, default=1)
+    p.add_argument("--steps", type=int, default=300)
+    p.add_argument("--load-run", dest="load_run", default="-1")
+    p.add_argument("--checkpoint", type=int, default=-1)
+    p.add_argument("--cmd", type=float, nargs=3, default=[0.5, 0.0, 0.0])
+    p.add_argument("--log-root", dest="log_root")
+    p.add_argument("--out-dir", dest="out_dir", default="/tmp/humanoid_play")
+    return p.parse_args(argv)
+
+
+def play(args):
+    import jax
+    import jax.numpy as jnp
+
+    from ..algo.runner import OnPolicyRunner
+    from ..config.structs import DomainRandCfg, EnvCfg, NoiseCfg
+    from ..deploy.export import export_policy_npz
+    from ..env import XBotLEnv
+    from ..utils import registry
+    from ..utils.checkpoint import get_load_path
+    from ..utils.eval_logger import EvalLogger
+
+    env_cfg, train_cfg = registry.get_cfgs(args.task)
+    # eval overrides (play.py:50-64): few envs, plane, no noise/push/rand
+    env_cfg = env_cfg.replace(
+        env=dataclasses.replace(env_cfg.env, num_envs=args.num_envs),
+        noise=NoiseCfg(add_noise=False),
+        domain_rand=DomainRandCfg(
+            randomize_friction=False, randomize_base_mass=False,
+            push_robots=False, dynamic_randomization=0.0, action_delay=False,
+        ),
+    )
+    env = XBotLEnv(env_cfg)
+    runner = OnPolicyRunner(env, train_cfg)
+    root = os.path.join(
+        args.log_root or registry.LOG_ROOT, train_cfg.runner.experiment_name
+    )
+    path = get_load_path(root, args.load_run, args.checkpoint)
+    print(f"loading checkpoint: {path}")
+    runner.load(path)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    npz_path = export_policy_npz(
+        runner.train_state.params,
+        os.path.join(args.out_dir, "policy.npz"),
+        meta={"iteration": runner.iteration},
+    )
+    print(f"exported policy: {npz_path}")
+
+    N = args.num_envs
+    policy = runner.inference_policy()
+    step = jax.jit(env.step)
+    state = env.initial_state(jax.random.PRNGKey(0))
+    cmd = jnp.tile(jnp.asarray(args.cmd + [0.0]), (N, 1))
+    state, out = step(state, jnp.zeros((N, env.nj)), jax.random.PRNGKey(1))
+
+    logger = EvalLogger(env.dt)
+    actions_log = []
+    joint = 2
+    for i in range(args.steps):
+        state = state._replace(commands=cmd)
+        action = policy(out.obs)
+        if i < 100:
+            actions_log.append(np.array(action[0]))
+        state, out = step(state, action, jax.random.PRNGKey(2 + i))
+        phys = state.phys
+        from ..physics.spatial import quat_rotate_inverse
+
+        v_body = quat_rotate_inverse(phys.base_quat, phys.u[:, 3:6])
+        w_body = quat_rotate_inverse(phys.base_quat, phys.u[:, 0:3])
+        logger.log_states(
+            {
+                "dof_pos": float(phys.qj[0, joint]),
+                "dof_pos_target": float(action[0, joint]) * 0.25,
+                "dof_vel": float(phys.u[0, 6 + joint]),
+                "base_vel_x": float(v_body[0, 0]),
+                "base_vel_y": float(v_body[0, 1]),
+                "base_vel_z": float(v_body[0, 2]),
+                "base_vel_yaw": float(w_body[0, 2]),
+                "command_x": float(cmd[0, 0]),
+                "command_y": float(cmd[0, 1]),
+                "command_yaw": float(cmd[0, 2]),
+                "base_height": float(phys.base_pos[0, 2]),
+            }
+        )
+
+    np.savez(
+        os.path.join(args.out_dir, "openloop_action.npz"),
+        action=np.array(actions_log),
+    )
+    png = logger.plot_states(os.path.join(args.out_dir, "eval.png"))
+    z = float(state.phys.base_pos[0, 2])
+    print(f"rollout done: {args.steps} steps, final base z {z:.3f}, "
+          f"plots: {png}, actions: openloop_action.npz")
+    return {"final_z": z, "npz": npz_path}
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, "/root/repo")
+    play(get_args())

