@@ -220,8 +220,20 @@ class OnPolicyRunner:
         N = self.env.cfg.env.num_envs
         T = self.cfg.runner.num_steps_per_env
         save_every = self.cfg.runner.save_interval
+        course_ratio = self.env.cfg.rewards.course_ratio
         for it in range(num_iterations):
             t0 = time.time()
+            if course_ratio != 1.0:
+                # reward curriculum gain, x ratio per iteration capped at 20
+                # (on_policy_runner.py:160-162)
+                es = carry.env_state
+                carry = carry._replace(
+                    env_state=es._replace(
+                        course_gain=jnp.minimum(
+                            20.0, es.course_gain * course_ratio
+                        )
+                    )
+                )
             carry, metrics = self._train_iter(carry)
             jax.block_until_ready(carry.train_state.params)
             dt_iter = time.time() - t0

@@ -89,6 +89,31 @@ class DomainRandCfg:
     max_push_ang_vel: float = 0.4
     dynamic_randomization: float = 0.02
     action_delay: bool = True     # the per-step random delay mixing (step)
+    # --- extended set from the generic legged layer, all off by default
+    # (legged_robot.py:262-387; the XBot task config enables none of these)
+    randomize_link_mass: bool = False
+    link_mass_range: Tuple[float, float] = (0.9, 1.1)
+    randomize_base_com: bool = False
+    added_com_range_x: Tuple[float, float] = (-0.07, 0.03)
+    added_com_range_y: Tuple[float, float] = (-0.03, 0.03)
+    added_com_range_z: Tuple[float, float] = (-0.03, 0.03)
+    randomize_inertia: bool = False
+    inertia_range: Tuple[float, float] = (0.8, 1.2)
+    randomize_motor_strength: bool = False
+    motor_strength_range: Tuple[float, float] = (0.8, 1.2)
+    randomize_motor_offset: bool = False
+    motor_offset_range: Tuple[float, float] = (-0.035, 0.035)
+    randomize_kp_factor: bool = False
+    kp_factor_range: Tuple[float, float] = (0.8, 1.2)
+    randomize_kd_factor: bool = False
+    kd_factor_range: Tuple[float, float] = (0.8, 1.2)
+    # action-lag buffer (legged_robot.py:485-488): the PD target is a
+    # uniformly random element of the last lag_timesteps+1 scaled actions
+    randomize_lag_timesteps: bool = False
+    lag_timesteps: int = 6
+    # per-env re-randomization period for the dof props above
+    # (legged_robot.py:415-416)
+    dof_rand_interval_s: float = 4.0
 
 
 @dataclass(frozen=True)
@@ -108,6 +133,14 @@ class CommandsCfg:
     resampling_time: float = 8.0
     heading_command: bool = True
     ranges: CommandRangesCfg = CommandRangesCfg()
+    # --- stand/walk gait machinery (legged_robot.py:394-441; the fork's
+    # extension used by the D11/D12 tasks, off for the XBot task)
+    sw_switch: bool = False
+    stand_com_threshold: float = 0.05
+    static_delay: int = 5          # steps of zero-command before phase freeze
+    # gait schedule per episode; each entry has a _resample_<gait>_command
+    # rule and a random switch time (generate_gait_time equivalent)
+    gait: Tuple[str, ...] = ("walk_omnidirectional",)
 
 
 @dataclass(frozen=True)
@@ -160,6 +193,10 @@ class RewardsCfg:
     only_positive_rewards: bool = True
     tracking_sigma: float = 5.0
     max_contact_force: float = 700.0
+    # reward curriculum on action_smoothness: the runner multiplies the
+    # env's course_gain by this every iteration, capped at 20
+    # (legged_robot.py:84-85,241; on_policy_runner.py:160-162)
+    course_ratio: float = 1.0
     scales: RewardScalesCfg = RewardScalesCfg()
 
 

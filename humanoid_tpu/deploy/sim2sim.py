@@ -64,6 +64,9 @@ def run_mujoco(
     command=(0.5, 0.0, 0.0),
     push_schedule: Optional[Callable[[float], np.ndarray]] = None,
     record_states: bool = False,
+    command_source: Optional[Callable[[], tuple]] = None,
+    sw_switch: bool = False,
+    stand_com_threshold: float = 0.05,
 ):
     """Replay `policy` (maps (1, frame_stack*K) obs -> (nj,) action).
 
@@ -100,6 +103,7 @@ def run_mujoco(
     survived = cfg.sim_duration
     states = []
     count_lowlevel = 0
+    time_standing = 0
     for step in range(n_steps):
         q = data.qpos[-nj:].astype(np.float64)
         dq = data.qvel[-nj:].astype(np.float64)
@@ -107,6 +111,18 @@ def run_mujoco(
         omega_body = data.qvel[3:6].astype(np.float64)  # free joint: body frame
 
         if count_lowlevel % cfg.decimation == 0:
+            if command_source is not None:
+                cmd = np.asarray(command_source(), dtype=np.float64)
+            # stand/walk phase reset: zero-command episodes freeze the gait
+            # clock so the policy sees no stepping signal
+            # (reference sim2sim.py:201-208)
+            if sw_switch:
+                if np.linalg.norm(cmd) <= stand_com_threshold:
+                    time_standing += 1
+                    if time_standing > 5:
+                        count_lowlevel = 0
+                else:
+                    time_standing = 0
             obs = np.zeros((1, cfg.num_single_obs), dtype=np.float32)
             eu = _quat_to_euler(quat)
             eu[eu > math.pi] -= 2 * math.pi
@@ -172,6 +188,10 @@ def main(argv=None):
     p.add_argument("--duration", type=float, default=60.0)
     p.add_argument("--terrain", action="store_true")
     p.add_argument("--cmd", type=float, nargs=3, default=[0.5, 0.0, 0.0])
+    p.add_argument("--joystick", action="store_true",
+                   help="drive commands from a gamepad (scripts/joystick.py)")
+    p.add_argument("--sw-switch", dest="sw_switch", action="store_true",
+                   help="freeze the gait clock on zero command")
     args = p.parse_args(argv)
 
     from ..assets import XBOT_MJCF, XBOT_MJCF_TERRAIN, prepare_mujoco_xml
@@ -183,7 +203,21 @@ def main(argv=None):
         ),
     )
     policy = NpzPolicy(args.load_model)
-    metrics = run_mujoco(policy, cfg, command=tuple(args.cmd))
+    command_source = None
+    if args.joystick:
+        from ..scripts.joystick import JoystickController
+
+        pad = JoystickController()
+
+        def command_source():
+            pad.update_cmd_vel()
+            c = pad.get_cmd_vel()
+            return (c["vx"], c["vy"], c["wz"])
+
+    metrics = run_mujoco(
+        policy, cfg, command=tuple(args.cmd),
+        command_source=command_source, sw_switch=args.sw_switch,
+    )
     print(metrics)
     return metrics
 

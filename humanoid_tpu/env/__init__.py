@@ -1,1 +1,2 @@
+from .vec_env import VecEnvAdapter
 from .xbotl import EnvState, StepOutput, XBotLEnv

@@ -67,6 +67,28 @@ class EnvState(NamedTuple):
     env_origins: jnp.ndarray        # (N, 3)
     terrain_levels: jnp.ndarray     # (N,) int32
     terrain_types: jnp.ndarray      # (N,) int32
+    # --- generic legged layer extensions; None when the feature is off so
+    # the flagship fast path carries no extra state ---
+    # extended body randomization (legged_robot.py:313-367)
+    body_com: Optional[jnp.ndarray] = None        # (N, nb, 3)
+    body_inertia: Optional[jnp.ndarray] = None    # (N, nb, 3, 3)
+    # dof-prop randomization, resampled every dof_rand_interval
+    # (legged_robot.py:369-387, 415-416, 469-497)
+    motor_strengths: Optional[jnp.ndarray] = None  # (N, nj)
+    motor_offsets: Optional[jnp.ndarray] = None    # (N, nj)
+    kp_factors: Optional[jnp.ndarray] = None       # (N, nj)
+    kd_factors: Optional[jnp.ndarray] = None       # (N, nj)
+    # action-lag ring buffer, newest last (legged_robot.py:485-488)
+    lag_buffer: Optional[jnp.ndarray] = None       # (N, L+1, nj)
+    # stand/walk switch + gait schedule (legged_robot.py:394-441)
+    time_to_stand_still: Optional[jnp.ndarray] = None  # (N,) float32
+    phase_length_buf: Optional[jnp.ndarray] = None     # (N,) int32
+    gait_start: Optional[jnp.ndarray] = None           # (N,) 0 or 0.5
+    gait_time: Optional[jnp.ndarray] = None            # (N, n_gaits) int32
+    # command curriculum state (legged_robot.py:563-572)
+    cmd_x_range: Optional[jnp.ndarray] = None          # (2,) [lo, hi]
+    # reward curriculum gain on action_smoothness (legged_robot.py:241)
+    course_gain: jnp.ndarray = None                    # () float32
 
 
 class StepOutput(NamedTuple):
@@ -151,6 +173,26 @@ class XBotLEnv:
         self.push_interval = int(np.ceil(cfg.domain_rand.push_interval_s / self.dt))
         self.max_episode_length = cfg.max_episode_length
 
+        # generic legged-layer feature flags (static -> dead-code-free jit)
+        dr = cfg.domain_rand
+        self.dof_rand_on = (
+            dr.randomize_motor_strength or dr.randomize_motor_offset
+            or dr.randomize_kp_factor or dr.randomize_kd_factor
+        )
+        self.body_rand_on = dr.randomize_base_com or dr.randomize_inertia
+        self.dof_rand_interval = int(
+            np.ceil(dr.dof_rand_interval_s / self.dt)
+        )
+        self.sw_switch = cfg.commands.sw_switch
+        self.smooth_idx = (
+            self.reward_names.index("action_smoothness")
+            if "action_smoothness" in self.reward_names else None
+        )
+        self.track_idx = (
+            self.reward_names.index("tracking_lin_vel")
+            if "tracking_lin_vel" in self.reward_names else None
+        )
+
     # ------------------------------------------------------------------
     # static helpers
     # ------------------------------------------------------------------
@@ -169,25 +211,31 @@ class XBotLEnv:
         v[8 + 3 * nj : 11 + 3 * nj] = ns.quat * os_.quat
         return jnp.asarray(v)
 
-    def _phase(self, episode_length):
-        return (
+    def _phase(self, episode_length, gait_start=None):
+        """Gait phase in cycles. In sw_switch mode the counter is the
+        phase_length_buf (frozen while standing) and gait_start adds a
+        random half-cycle offset (legged_robot.py:196,664)."""
+        phase = (
             episode_length.astype(jnp.float32) * self.dt
             / self.cfg.rewards.cycle_time
         )
+        if gait_start is not None:
+            phase = phase + gait_start
+        return phase
 
-    def _gait_masks(self, episode_length):
+    def _gait_masks(self, episode_length, gait_start=None):
         """(stance_mask (N,2), sin_pos (N,)) — humanoid_env.py:695-715."""
-        phase = self._phase(episode_length)
+        phase = self._phase(episode_length, gait_start)
         sin_pos = jnp.sin(2 * jnp.pi * phase)
         left = sin_pos >= 0
         stance = jnp.stack([left, ~left], axis=-1).astype(jnp.float32)
         double = (jnp.abs(sin_pos) < 0.1)[:, None]
         return jnp.where(double, 1.0, stance), sin_pos
 
-    def _ref_dof_pos(self, episode_length):
+    def _ref_dof_pos(self, episode_length, gait_start=None):
         """Sinusoidal leg reference (humanoid_env.py:717-744, 12-dof
         indices 2,3,4 / 8,9,10) — built scatter-free from constant masks."""
-        _, sin_pos = self._gait_masks(episode_length)
+        _, sin_pos = self._gait_masks(episode_length, gait_start)
         s1 = self.cfg.rewards.target_joint_pos_scale
         s2 = 2 * s1
         sin_l = jnp.minimum(sin_pos, 0.0)
@@ -200,12 +248,20 @@ class XBotLEnv:
         double = (jnp.abs(sin_pos) < 0.1)[:, None]
         return jnp.where(double, 0.0, ref)
 
-    def _sample_commands(self, key, n):
-        """(n,4) fresh commands (humanoid_env.py:1019-1034)."""
+    def _sample_commands(self, key, n, cmd_x_range=None):
+        """(n,4) fresh commands (humanoid_env.py:1019-1034). cmd_x_range
+        overrides the static lin_vel_x bounds under the command curriculum
+        (legged_robot.py:563-572)."""
         cfg = self.cfg.commands
         k1, k2, k3 = jax.random.split(key, 3)
         r = cfg.ranges
-        vx = jax.random.uniform(k1, (n,), minval=r.lin_vel_x[0], maxval=r.lin_vel_x[1])
+        if cmd_x_range is None:
+            vx = jax.random.uniform(
+                k1, (n,), minval=r.lin_vel_x[0], maxval=r.lin_vel_x[1]
+            )
+        else:
+            u = jax.random.uniform(k1, (n,))
+            vx = cmd_x_range[0] + u * (cmd_x_range[1] - cmd_x_range[0])
         vy = jax.random.uniform(k2, (n,), minval=r.lin_vel_y[0], maxval=r.lin_vel_y[1])
         if cfg.heading_command:
             heading = jax.random.uniform(
@@ -221,6 +277,106 @@ class XBotLEnv:
         # zero-out small commands (humanoid_env.py:1034)
         keep = jnp.linalg.norm(cmds[:, 0:2], axis=1) > 0.2
         return cmds.at[:, 0:2].multiply(keep[:, None].astype(cmds.dtype))
+
+    def _sample_gait_command(self, key, n, gait, cmd_x_range=None):
+        """_resample_<gait>_command dispatch (legged_robot.py:425-467):
+        stand -> all-zero; walk_omnidirectional -> full ranges;
+        walk_sagittal -> vy=0; walk_lateral -> vx=0."""
+        if gait == "stand":
+            return jnp.zeros((n, 4))
+        cmds = self._sample_commands(key, n, cmd_x_range)
+        if gait == "walk_sagittal":
+            cmds = cmds.at[:, 1].set(0.0)
+        elif gait == "walk_lateral":
+            cmds = cmds.at[:, 0].set(0.0)
+        elif gait != "walk_omnidirectional":
+            raise ValueError(f"unknown gait {gait!r}")
+        return cmds
+
+    def _generate_gait_time(self, key, n):
+        """(n, n_gaits) int32 switch steps — the generate_gait_time the
+        reference calls (legged_robot.py:197) but never defines (the D11/D12
+        envs are missing): stratified random times, one per scheduled gait,
+        so gait i runs in roughly the i-th fraction of the episode."""
+        n_g = len(self.cfg.commands.gait)
+        T = self.max_episode_length
+        seg = T // n_g
+        u = jax.random.randint(key, (n, n_g), 1, max(seg, 2))
+        return (u + seg * jnp.arange(n_g, dtype=jnp.int32)[None, :]).astype(
+            jnp.int32
+        )
+
+    def _sample_dof_rand(self, key, n):
+        """(motor_strengths, motor_offsets, kp_factors, kd_factors), each
+        (n, nj) — legged_robot.py:369-387 ranges; strength is one factor per
+        env replicated across dofs, offsets are per-dof."""
+        dr = self.cfg.domain_rand
+        ks, ko, kp, kd = jax.random.split(key, 4)
+        nj = self.nj
+
+        def u(k, shape, rng, enabled, fill):
+            if not enabled:
+                return jnp.full((n, nj), fill)
+            x = jax.random.uniform(k, shape, minval=rng[0], maxval=rng[1])
+            return jnp.broadcast_to(x, (n, nj)) if x.shape != (n, nj) else x
+
+        ms = u(ks, (n, 1), dr.motor_strength_range,
+               dr.randomize_motor_strength, 1.0)
+        mo = u(ko, (n, nj), dr.motor_offset_range,
+               dr.randomize_motor_offset, 0.0)
+        kpf = u(kp, (n, nj), dr.kp_factor_range, dr.randomize_kp_factor, 1.0)
+        kdf = u(kd, (n, nj), dr.kd_factor_range, dr.randomize_kd_factor, 1.0)
+        return ms, mo, kpf, kdf
+
+    def _sample_body_rand(self, key, n, masses):
+        """Extended body randomization (legged_robot.py:313-367): one link
+        mass factor per env on non-base rows, base COM offset, symmetric
+        per-element inertia factors. Returns (masses, com, inertia)."""
+        dr = self.cfg.domain_rand
+        m = self.model
+        kl, kc, ki = jax.random.split(key, 3)
+        if dr.randomize_link_mass:
+            f = jax.random.uniform(
+                kl, (n, 1), minval=dr.link_mass_range[0],
+                maxval=dr.link_mass_range[1],
+            )
+            masses = jnp.concatenate(
+                [masses[:, 0:1], masses[:, 1:] * f], axis=1
+            )
+        com = jnp.tile(jnp.asarray(m.com, dtype=jnp.float32), (n, 1, 1))
+        if dr.randomize_base_com:
+            kx, ky, kz = jax.random.split(kc, 3)
+            off = jnp.stack(
+                [
+                    jax.random.uniform(kx, (n,), minval=dr.added_com_range_x[0],
+                                       maxval=dr.added_com_range_x[1]),
+                    jax.random.uniform(ky, (n,), minval=dr.added_com_range_y[0],
+                                       maxval=dr.added_com_range_y[1]),
+                    jax.random.uniform(kz, (n,), minval=dr.added_com_range_z[0],
+                                       maxval=dr.added_com_range_z[1]),
+                ],
+                axis=-1,
+            )
+            com = com.at[:, 0, :].add(off)
+        inertia = jnp.tile(
+            jnp.asarray(m.inertia, dtype=jnp.float32), (n, 1, 1, 1)
+        )
+        if dr.randomize_inertia:
+            nb = inertia.shape[1]
+            # 6 independent factors per body (xx,xy,xz,yy,yz,zz), applied
+            # symmetrically (legged_robot.py:339-365)
+            f6 = jax.random.uniform(
+                ki, (n, nb, 6), minval=dr.inertia_range[0],
+                maxval=dr.inertia_range[1],
+            )
+            fac = jnp.stack(
+                [f6[..., 0], f6[..., 1], f6[..., 2],
+                 f6[..., 1], f6[..., 3], f6[..., 4],
+                 f6[..., 2], f6[..., 4], f6[..., 5]],
+                axis=-1,
+            ).reshape(n, nb, 3, 3)
+            inertia = inertia * fac
+        return masses, com, inertia
 
     def _reset_phys(self, key, n, env_origins=None):
         """Fresh PhysState batch for n envs (humanoid_env.py:1036-1052)."""
@@ -294,9 +450,41 @@ class XBotLEnv:
             terrain_types = jnp.zeros(N, dtype=jnp.int32)
             env_origins = self.env_origins
 
+        # generic legged-layer state (None = feature off, zero-cost)
+        extra = {}
+        k_dof, k_body, k_gait, k_gt, kq = jax.random.split(kq, 5)
+        if self.body_rand_on or cfg.domain_rand.randomize_link_mass:
+            masses, com, inertia = self._sample_body_rand(k_body, N, masses)
+            if self.body_rand_on:
+                extra["body_com"] = com
+                extra["body_inertia"] = inertia
+        if self.dof_rand_on:
+            ms, mo, kpf, kdf = self._sample_dof_rand(k_dof, N)
+            extra.update(
+                motor_strengths=ms, motor_offsets=mo,
+                kp_factors=kpf, kd_factors=kdf,
+            )
+        if cfg.domain_rand.randomize_lag_timesteps:
+            extra["lag_buffer"] = jnp.zeros(
+                (N, cfg.domain_rand.lag_timesteps + 1, self.nj)
+            )
+        if self.sw_switch:
+            extra.update(
+                time_to_stand_still=jnp.zeros(N),
+                phase_length_buf=jnp.zeros(N, dtype=jnp.int32),
+                gait_start=jax.random.randint(k_gait, (N,), 0, 2) * 0.5,
+                gait_time=self._generate_gait_time(k_gt, N),
+            )
+        if cfg.commands.curriculum:
+            extra["cmd_x_range"] = jnp.asarray(
+                cfg.commands.ranges.lin_vel_x, dtype=jnp.float32
+            )
+
         nK = cfg.env.num_single_obs
         nKp = cfg.env.single_num_privileged_obs
         return EnvState(
+            course_gain=jnp.ones(()),
+            **extra,
             phys=self._reset_phys(kq, N, env_origins),
             masses=masses,
             friction=friction,
@@ -331,9 +519,10 @@ class XBotLEnv:
     ) -> Tuple[EnvState, StepOutput]:
         cfg = self.cfg
         N = cfg.env.num_envs
-        k_delay, k_noise, k_cmd, k_push, k_reset_q, k_reset_c, k_obs = (
-            jax.random.split(key, 7)
-        )
+        (
+            k_delay, k_noise, k_cmd, k_push, k_reset_q, k_reset_c, k_obs,
+            k_lag, k_gaitcmd, k_dofrand, k_gs, k_gt,
+        ) = jax.random.split(key, 12)
 
         # ---- 1. action processing (humanoid_env.py:616-636) ----
         if cfg.env.use_ref_actions:
@@ -353,15 +542,50 @@ class XBotLEnv:
         )
 
         # ---- 2. decimated PD + physics (humanoid_env.py:639-649) ----
-        targets = actions * cfg.control.action_scale + self.default_dof_pos
+        actions_scaled = actions * cfg.control.action_scale
+        lag_buffer = state.lag_buffer
+        if cfg.domain_rand.randomize_lag_timesteps:
+            # PD target is a uniformly random element of the action-lag ring
+            # (one shared index per control step, matching the reference's
+            # process-global random.randint, legged_robot.py:485-488)
+            lag_buffer = jnp.concatenate(
+                [lag_buffer[:, 1:], actions_scaled[:, None, :]], axis=1
+            )
+            rand_idx = jax.random.randint(
+                k_lag, (), 0, cfg.domain_rand.lag_timesteps + 1
+            )
+            targets = (
+                jax.lax.dynamic_index_in_dim(
+                    lag_buffer, rand_idx, axis=1, keepdims=False
+                )
+                + self.default_dof_pos
+            )
+        else:
+            targets = actions_scaled + self.default_dof_pos
 
-        def torque_fn(s):
-            tau = self.kp * (targets - s.qj) - self.kd * s.u[:, 6:]
-            return jnp.clip(tau, -self.torque_limits, self.torque_limits)
+        if self.dof_rand_on:
+            # randomized PD gains / motor model (legged_robot.py:490-496)
+            kp_eff = self.kp * state.kp_factors
+            kd_eff = self.kd * state.kd_factors
+
+            def torque_fn(s):
+                tau = (
+                    kp_eff * (targets - s.qj + state.motor_offsets)
+                    - kd_eff * s.u[:, 6:]
+                ) * state.motor_strengths
+                return jnp.clip(tau, -self.torque_limits, self.torque_limits)
+        else:
+
+            def torque_fn(s):
+                tau = self.kp * (targets - s.qj) - self.kd * s.u[:, 6:]
+                return jnp.clip(tau, -self.torque_limits, self.torque_limits)
 
         phys, diag = control_step_batch(
             self.model,
-            EnvPhysParams(masses=state.masses, friction=state.friction),
+            EnvPhysParams(
+                masses=state.masses, friction=state.friction,
+                com=state.body_com, inertia=state.body_inertia,
+            ),
             self.terrain,
             self.contact_params,
             state.phys,
@@ -382,10 +606,46 @@ class XBotLEnv:
         base_euler = quat_to_euler_xyz(base_quat)
 
         # ---- callback: resample commands / heading / push (1000-1016) ----
+        contact = diag.foot_forces[:, :, 2] > 5.0
         commands = state.commands
-        resample = (episode_length % self.resample_steps) == 0
-        fresh = self._sample_commands(k_cmd, N)
-        commands = jnp.where(resample[:, None], fresh, commands)
+        ttss = state.time_to_stand_still
+        plb = state.phase_length_buf
+        if self.sw_switch:
+            # stand/walk switch (legged_robot.py:394-399): the stand-still
+            # timer accumulates on zero command + low speed; the phase
+            # counter freezes (resets) while standing so the gait signal
+            # vanishes (mirrors sim2sim.py:201-208)
+            ccfg = cfg.commands
+            stand_cmd = (
+                jnp.linalg.norm(commands[:, 0:3], axis=1)
+                <= ccfg.stand_com_threshold
+            )
+            low_speed_m = jnp.linalg.norm(base_lin_vel[:, 0:2], axis=1) < 0.3
+            ttss = (ttss + stand_cmd.astype(jnp.float32)) * low_speed_m
+            # gait-schedule command resampling (legged_robot.py:419-441)
+            gks = jax.random.split(k_gaitcmd, len(ccfg.gait))
+            double_c = jnp.sum(contact.astype(jnp.float32), axis=1) == 2
+            for i, gname in enumerate(ccfg.gait):
+                mask = episode_length == state.gait_time[:, i]
+                freshg = self._sample_gait_command(
+                    gks[i], N, gname, state.cmd_x_range
+                )
+                commands = jnp.where(mask[:, None], freshg, commands)
+                # timer reset + static-delay boost when the new command is
+                # zero while both feet are planted (legged_robot.py:436-441)
+                boost = (
+                    ccfg.static_delay
+                    * double_c.astype(jnp.float32)
+                    * (jnp.linalg.norm(commands[:, 0:3], axis=1) == 0.0)
+                    * low_speed_m.astype(jnp.float32)
+                )
+                ttss = jnp.where(mask, boost, ttss)
+            standing = ttss > ccfg.static_delay
+            plb = jnp.where(standing, 0, plb + 1)
+        else:
+            resample = (episode_length % self.resample_steps) == 0
+            fresh = self._sample_commands(k_cmd, N, state.cmd_x_range)
+            commands = jnp.where(resample[:, None], fresh, commands)
         if cfg.commands.heading_command:
             fwd = quat_rotate(base_quat, jnp.tile(jnp.array([1.0, 0.0, 0.0]), (N, 1)))
             heading = jnp.arctan2(fwd[:, 1], fwd[:, 0])
@@ -425,8 +685,11 @@ class XBotLEnv:
             return jnp.stack([x[:, b] for b in bodies], axis=1)
 
         foot_pos = take_bodies(diag.body_pos, self.model.foot_bodies)
-        contact = diag.foot_forces[:, :, 2] > 5.0
-        stance_mask, _ = self._gait_masks(episode_length)
+        # post-callback phase counter drives the stance target; in sw mode
+        # that is the (possibly frozen) phase_length_buf + gait_start
+        pc_rew = plb if self.sw_switch else episode_length
+        gs = state.gait_start
+        stance_mask, _ = self._gait_masks(pc_rew, gs)
         (air_time, first_contact, fh), (
             new_feet_air_time, new_last_contacts, new_last_feet_z,
             new_feet_height,
@@ -446,7 +709,11 @@ class XBotLEnv:
             # the reference's reward reads the ref pose computed by the
             # PREVIOUS step's compute_observations (one step stale) — use the
             # pre-increment counter for exact parity
-            ref_dof_pos=self._ref_dof_pos(state.episode_length),
+            ref_dof_pos=self._ref_dof_pos(
+                state.phase_length_buf if self.sw_switch
+                else state.episode_length,
+                gs,
+            ),
             default_dof_pos=self.default_dof_pos,
             base_pos=phys.base_pos,
             base_lin_vel=base_lin_vel,
@@ -473,6 +740,12 @@ class XBotLEnv:
             [fn(ctx) * s for fn, s in zip(self.reward_fns, self.reward_scales)],
             axis=1,
         )  # (N, n_rew)
+        if self.smooth_idx is not None and cfg.rewards.course_ratio != 1.0:
+            # reward curriculum: action_smoothness scaled by course_gain
+            # (legged_robot.py:240-242; gain updated by the runner)
+            rew_terms = rew_terms.at[:, self.smooth_idx].multiply(
+                state.course_gain
+            )
         rew = jnp.sum(rew_terms, axis=1)
         if cfg.rewards.only_positive_rewards:
             rew = jnp.maximum(rew, 0.0)
@@ -526,11 +799,67 @@ class XBotLEnv:
         new_feet_height = jnp.where(r, 0.0, new_feet_height)
         episode_length_out = jnp.where(reset_buf, 0, episode_length)
 
+        # generic-layer state resets / re-randomization
+        if cfg.domain_rand.randomize_lag_timesteps:
+            lag_buffer = jnp.where(reset_buf[:, None, None], 0.0, lag_buffer)
+        if self.sw_switch:
+            ttss = jnp.where(reset_buf, 0.0, ttss)
+            plb_out = jnp.where(reset_buf, 0, plb)
+            gs = jnp.where(
+                reset_buf,
+                jax.random.randint(k_gs, (N,), 0, 2).astype(jnp.float32) * 0.5,
+                gs,
+            )
+            gait_time = jnp.where(
+                reset_buf[:, None], self._generate_gait_time(k_gt, N),
+                state.gait_time,
+            )
+        else:
+            plb_out, gait_time = None, None
+        if self.dof_rand_on:
+            # resampled at reset AND on the dof_rand_interval grid
+            # (legged_robot.py:199, 415-416)
+            dof_mask = (
+                ((episode_length % self.dof_rand_interval) == 0) | reset_buf
+            )[:, None]
+            ms, mo, kpf, kdf = self._sample_dof_rand(k_dofrand, N)
+            motor_strengths = jnp.where(dof_mask, ms, state.motor_strengths)
+            motor_offsets = jnp.where(dof_mask, mo, state.motor_offsets)
+            kp_factors = jnp.where(dof_mask, kpf, state.kp_factors)
+            kd_factors = jnp.where(dof_mask, kdf, state.kd_factors)
+        else:
+            motor_strengths = motor_offsets = kp_factors = kd_factors = None
+
         # episode telemetry before clearing sums (humanoid_env.py:1141-1149)
         rmask = reset_buf.astype(jnp.float32)
         ep_rew_sums = jnp.sum(episode_sums * rmask[:, None], axis=0)
         ep_count = jnp.sum(rmask)
         ep_len_sum = jnp.sum(episode_length * reset_buf)
+        # command curriculum (legged_robot.py:186-188, 563-572): every
+        # max_episode_length common steps, widen lin_vel_x if the episodes
+        # finishing now track velocity above 80% of the possible reward
+        cmd_x_range = state.cmd_x_range
+        if cfg.commands.curriculum and self.track_idx is not None:
+            do_upd = (common_step % self.max_episode_length) == 0
+            mean_track = jnp.sum(
+                episode_sums[:, self.track_idx] * rmask
+            ) / jnp.maximum(ep_count, 1.0)
+            ok = (
+                mean_track / self.max_episode_length
+                > 0.8 * self.reward_scales[self.track_idx]
+            )
+            widen = do_upd & ok & (ep_count > 0)
+            mc = cfg.commands.max_curriculum
+            cmd_x_range = jnp.where(
+                widen,
+                jnp.stack(
+                    [
+                        jnp.clip(cmd_x_range[0] - 0.5, -mc, 0.0),
+                        jnp.clip(cmd_x_range[1] + 0.5, 0.0, mc),
+                    ]
+                ),
+                cmd_x_range,
+            )
         episode_sums = jnp.where(r, 0.0, episode_sums)
 
         # ---- 7. observations (818-887) ----
@@ -541,8 +870,9 @@ class XBotLEnv:
         base_lin_vel_o = jnp.where(r, 0.0, base_lin_vel)
         base_ang_vel_o = jnp.where(r, 0.0, base_ang_vel)
         base_euler_o = jnp.where(r, 0.0, base_euler)
-        stance_mask_o, sin_pos = self._gait_masks(episode_length_out)
-        phase = self._phase(episode_length_out)
+        pc_out = plb_out if self.sw_switch else episode_length_out
+        stance_mask_o, sin_pos = self._gait_masks(pc_out, gs)
+        phase = self._phase(pc_out, gs)
         sincos = jnp.stack(
             [jnp.sin(2 * jnp.pi * phase), jnp.cos(2 * jnp.pi * phase)], axis=1
         )
@@ -552,7 +882,7 @@ class XBotLEnv:
         obs_scales = cfg.normalization.obs_scales
         q = (phys.qj - self.default_dof_pos) * obs_scales.dof_pos
         dq = phys.u[:, 6:] * obs_scales.dof_vel
-        diff = phys.qj - self._ref_dof_pos(episode_length_out)
+        diff = phys.qj - self._ref_dof_pos(pc_out, gs)
 
         single_priv = jnp.concatenate(
             [
@@ -631,6 +961,19 @@ class XBotLEnv:
             env_origins=env_origins,
             terrain_levels=terrain_levels,
             terrain_types=state.terrain_types,
+            body_com=state.body_com,
+            body_inertia=state.body_inertia,
+            motor_strengths=motor_strengths,
+            motor_offsets=motor_offsets,
+            kp_factors=kp_factors,
+            kd_factors=kd_factors,
+            lag_buffer=lag_buffer,
+            time_to_stand_still=ttss,
+            phase_length_buf=plb_out,
+            gait_start=gs,
+            gait_time=gait_time,
+            cmd_x_range=cmd_x_range,
+            course_gain=state.course_gain,
         )
         out = StepOutput(
             obs=obs,

@@ -74,6 +74,8 @@ def compute_dynamics(
     qj,
     u,
     mass: Optional[jnp.ndarray] = None,
+    com: Optional[jnp.ndarray] = None,
+    inertia: Optional[jnp.ndarray] = None,
 ) -> DynamicsCache:
     nj, nb, nv = model.nj, model.nj + 1, model.nv
     body_pos, body_quat = fk(model, base_pos, base_quat, qj)
@@ -86,13 +88,17 @@ def compute_dynamics(
     S = jnp.concatenate([jnp.eye(6, dtype=S_j.dtype), S_j], axis=0)  # (nv,6)
 
     # ---- per-body spatial inertias (vectorized over bodies) ----
+    # mass/com/inertia overrides carry the per-env domain randomization
+    # (legged_robot.py:313-367: base mass/COM, link mass and inertia factors)
     if mass is None:
         mass = jnp.asarray(model.mass)
+    if com is None:
+        com = jnp.asarray(model.com)
+    if inertia is None:
+        inertia = jnp.asarray(model.inertia)
     R = quat_to_mat(body_quat)                                       # (nb,3,3)
-    com_w = body_pos + jnp.einsum("bij,bj->bi", R, jnp.asarray(model.com))
-    I_w = jnp.einsum(
-        "bij,bjk,blk->bil", R, jnp.asarray(model.inertia), R
-    )
+    com_w = body_pos + jnp.einsum("bij,bj->bi", R, com)
+    I_w = jnp.einsum("bij,bjk,blk->bil", R, inertia, R)
     r = com_w - A
     rx = skew(r)                                                     # (nb,3,3)
     m3 = mass[:, None, None]

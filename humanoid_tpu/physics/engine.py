@@ -52,9 +52,14 @@ class PhysDiag(NamedTuple):
 
 
 class EnvPhysParams(NamedTuple):
-    """Per-env domain-randomized physics parameters (batched leaves)."""
+    """Per-env domain-randomized physics parameters (batched leaves).
+    com/inertia are None unless the corresponding domain randomization is
+    enabled, so the default path pays nothing for them
+    (legged_robot.py:313-367 randomizes base COM and per-body inertia)."""
     masses: jnp.ndarray     # (nb,) body masses (base row randomized)
     friction: jnp.ndarray   # () ground friction coefficient
+    com: Optional[jnp.ndarray] = None      # (nb,3) body-frame COM offsets
+    inertia: Optional[jnp.ndarray] = None  # (nb,3,3) body-frame inertias
 
 
 def default_phys_params(model: RobotModel) -> EnvPhysParams:
@@ -75,7 +80,7 @@ def substep(
     """One semi-implicit Euler step at the sim rate (1 kHz)."""
     cache = compute_dynamics(
         model, state.base_pos, state.base_quat, state.qj, state.u,
-        mass=params.masses,
+        mass=params.masses, com=params.com, inertia=params.inertia,
     )
     ci: ContactInfo = contact_forces(
         model, cache.body_pos, cache.body_quat, cache.v_sp, terrain,
@@ -151,8 +156,13 @@ def substep_batch(
 
     N = tau_j.shape[0]
     cache = jax.vmap(
-        lambda bp, bq, qj, u, m: compute_dynamics(model, bp, bq, qj, u, mass=m)
-    )(state.base_pos, state.base_quat, state.qj, state.u, params.masses)
+        lambda bp, bq, qj, u, m, c, I: compute_dynamics(
+            model, bp, bq, qj, u, mass=m, com=c, inertia=I
+        )
+    )(
+        state.base_pos, state.base_quat, state.qj, state.u,
+        params.masses, params.com, params.inertia,
+    )
     ci = jax.vmap(
         lambda bp, bq, v, mu: contact_forces(
             model, bp, bq, v, terrain, mu, contact_params

@@ -143,6 +143,24 @@ def wrap_to_pi(a):
     return a - 2.0 * jnp.pi * jnp.floor((a + jnp.pi) / (2.0 * jnp.pi))
 
 
+def quat_apply_yaw(q, v):
+    """Rotate v by only the yaw component of q (utils/math.py:39-43).
+    q is wxyz here, so the x/y components (indices 1,2) are zeroed."""
+    q_yaw = q.at[..., 1:3].set(0.0)
+    return quat_rotate(quat_normalize(q_yaw), v)
+
+
+def rand_sqrt_float(key, lower, upper, shape):
+    """U-shaped (sqrt-warped) uniform in [lower, upper] — the jax.random
+    equivalent of torch_rand_sqrt_float (utils/math.py:52-57), used for
+    edge-biased initial-state sampling."""
+    import jax
+
+    r = 2.0 * jax.random.uniform(key, shape) - 1.0
+    r = jnp.where(r < 0.0, -jnp.sqrt(-r), jnp.sqrt(r))
+    return (upper - lower) * (r + 1.0) / 2.0 + lower
+
+
 def rpy_to_mat(rpy):
     """URDF fixed-axis RPY -> rotation matrix: R = Rz(yaw) Ry(pitch) Rx(roll)."""
     r, p, y = rpy[..., 0], rpy[..., 1], rpy[..., 2]

@@ -132,6 +132,36 @@ def _register_builtin():
         XBotLCfg(terrain=TerrainCfg(mesh_type="heightfield")),
         XBotLCfgPPO(),
     )
+    # the generic legged-layer task the reference registers as d11_ppo /
+    # d12_ppo (envs/__init__.py:48-50; the D11/D12 envs are missing
+    # upstream): XBot-L with the full extended domain-randomization set,
+    # action-lag, stand/walk gait switching and the command curriculum
+    from ..config.structs import CommandsCfg, DomainRandCfg, RewardsCfg
+
+    register(
+        "humanoid_ppo_robust",
+        XBotLEnv,
+        XBotLCfg(
+            domain_rand=DomainRandCfg(
+                randomize_link_mass=True,
+                randomize_base_com=True,
+                randomize_inertia=True,
+                randomize_motor_strength=True,
+                randomize_motor_offset=True,
+                randomize_kp_factor=True,
+                randomize_kd_factor=True,
+                randomize_lag_timesteps=True,
+            ),
+            commands=CommandsCfg(
+                curriculum=True,
+                sw_switch=True,
+                gait=("walk_omnidirectional", "stand",
+                      "walk_omnidirectional"),
+            ),
+            rewards=RewardsCfg(course_ratio=1.001),
+        ),
+        XBotLCfgPPO(),
+    )
 
 
 _register_builtin()
