@@ -33,6 +33,7 @@ from ..physics.engine import (
 )
 from ..physics.model import RobotModel
 from ..physics.spatial import (
+    quat_apply_yaw,
     quat_rotate,
     quat_rotate_inverse,
     quat_to_euler_xyz,
@@ -172,6 +173,23 @@ class XBotLEnv:
         self.resample_steps = int(cfg.commands.resampling_time / self.dt)
         self.push_interval = int(np.ceil(cfg.domain_rand.push_interval_s / self.dt))
         self.max_episode_length = cfg.max_episode_length
+
+        # height measurement grid (legged_robot_config.py:54-56: 17x11
+        # points over a 1.6m x 1m rectangle, yaw-rotated around the base;
+        # appended to the privileged obs, humanoid_env.py:871-874)
+        if cfg.terrain.measure_heights:
+            px = np.asarray(cfg.terrain.measured_points_x, dtype=np.float32)
+            py = np.asarray(cfg.terrain.measured_points_y, dtype=np.float32)
+            gx, gy = np.meshgrid(px, py, indexing="ij")
+            self.height_points = jnp.asarray(
+                np.stack(
+                    [gx.ravel(), gy.ravel(), np.zeros(gx.size)], axis=-1
+                )
+            )  # (P, 3)
+            self.n_height_points = gx.size
+        else:
+            self.height_points = None
+            self.n_height_points = 0
 
         # generic legged-layer feature flags (static -> dead-code-free jit)
         dr = cfg.domain_rand
@@ -903,6 +921,21 @@ class XBotLEnv:
             ],
             axis=1,
         )
+        if cfg.terrain.measure_heights:
+            # yaw-rotated scan grid around the base; clipped relative
+            # heights appended to the critic obs (humanoid_env.py:871-874 —
+            # the reference overwrites the priv obs with [actor_obs,
+            # heights]; we append to the standard privileged frame instead
+            # so the critic keeps its contact/push/friction information)
+            pts = quat_apply_yaw(
+                phys.base_quat[:, None, :], self.height_points[None, :, :]
+            ) + phys.base_pos[:, None, :]
+            mh = self.terrain.sample_min3(pts[..., 0:2])         # (N, P)
+            heights_o = (
+                jnp.clip(phys.base_pos[:, 2:3] - 0.5 - mh, -1.0, 1.0)
+                * obs_scales.height_measurements
+            )
+            single_priv = jnp.concatenate([single_priv, heights_o], axis=1)
         single_obs = jnp.concatenate(
             [
                 command_input,                                   # 5

@@ -125,11 +125,16 @@ def _register_builtin():
     from ..env.xbotl import XBotLEnv
 
     register("humanoid_ppo", XBotLEnv, XBotLCfg(), XBotLCfgPPO())
-    # terrain-curriculum variant of the same task (reference config 3)
+    # terrain-curriculum variant of the same task (reference config 3):
+    # heightfield terrain + 17x11 height scan appended to the critic obs
+    # (73 + 187 = 260 per privileged frame)
     register(
         "humanoid_ppo_terrain",
         XBotLEnv,
-        XBotLCfg(terrain=TerrainCfg(mesh_type="heightfield")),
+        XBotLCfg(
+            env=EnvCfg(single_num_privileged_obs=73 + 187),
+            terrain=TerrainCfg(mesh_type="heightfield", measure_heights=True),
+        ),
         XBotLCfgPPO(),
     )
     # the generic legged-layer task the reference registers as d11_ppo /

@@ -219,3 +219,25 @@ def test_course_gain_curriculum():
     # capped at 20 (on_policy_runner.py:162)
     carry = runner.learn(10, carry=carry)
     assert float(carry.env_state.course_gain) == pytest.approx(20.0)
+
+
+def test_measure_heights_priv_obs():
+    """17x11 height scan appended to the critic obs on heightfield terrain
+    (legged_robot_config.py:54-56, humanoid_env.py:871-874)."""
+    import dataclasses
+
+    from humanoid_tpu.utils import registry
+
+    cfg0, _ = registry.get_cfgs("humanoid_ppo_terrain")
+    cfg0 = cfg0.replace(env=dataclasses.replace(cfg0.env, num_envs=N))
+    env, _ = registry.make_env("humanoid_ppo_terrain", env_cfg=cfg0)
+    assert env.n_height_points == 17 * 11
+    s = env.initial_state(jax.random.PRNGKey(0))
+    s, out = jax.jit(env.step)(s, jnp.zeros((N, env.nj)), jax.random.PRNGKey(1))
+    K = cfg0.env.c_frame_stack * cfg0.env.single_num_privileged_obs
+    assert out.privileged_obs.shape == (N, K)
+    # height channels are clipped to +-1 * scale
+    hp = np.asarray(out.privileged_obs)[:, -env.n_height_points:]
+    scale = cfg0.normalization.obs_scales.height_measurements
+    assert np.all(np.abs(hp) <= scale + 1e-5)
+    assert np.all(np.isfinite(np.asarray(out.privileged_obs)))
