@@ -87,10 +87,11 @@ def _build_env(env_class, cfg: XBotLCfg):
     if cfg.terrain.mesh_type in ("heightfield", "trimesh"):
         import numpy as np
 
-        from ..env.terrain import build_terrain
+        from ..native.terrain_native import build_terrain_native
         from ..physics.contact import Terrain
 
-        world = build_terrain(cfg.terrain, seed=cfg.seed)
+        # C++ synthesizer when a toolchain is present, NumPy otherwise
+        world = build_terrain_native(cfg.terrain, seed=cfg.seed)
         import jax.numpy as jnp
 
         terrain = Terrain(
