@@ -74,6 +74,13 @@ class SimCfg:
     contact_kn: float = 2.0e4
     contact_cn: float = 80.0
     contact_v_reg: float = 0.05
+    # assemble + factorize the CRBA mass matrix once per control step and
+    # reuse the Cholesky factor for all decimation substeps (configuration
+    # drift < ~1e-2 rad at 100 Hz)
+    freeze_mass_matrix: bool = False
+    # fused Pallas substep kernel on TPU (ops/physics_kernel.py) when the
+    # task is eligible (plane terrain, no per-env inertia/gain overrides)
+    use_pallas_substep: bool = True
 
 
 @dataclass(frozen=True)

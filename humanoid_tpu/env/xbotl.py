@@ -30,6 +30,7 @@ from ..physics.engine import (
     PhysDiag,
     PhysState,
     control_step_batch,
+    control_step_pallas,
 )
 from ..physics.model import RobotModel
 from ..physics.spatial import (
@@ -202,6 +203,25 @@ class XBotLEnv:
             np.ceil(dr.dof_rand_interval_s / self.dt)
         )
         self.sw_switch = cfg.commands.sw_switch
+        # fused Pallas substep kernel: TPU + plane terrain + no per-env
+        # inertia/gain overrides (ops/physics_kernel.py)
+        self._substep_fn = None
+        if (
+            cfg.sim.use_pallas_substep
+            and self.terrain.flat
+            and not self.body_rand_on
+            and not self.dof_rand_on
+            and cfg.env.num_envs % 128 == 0
+        ):
+            import jax as _jax
+
+            if _jax.default_backend() == "tpu":
+                from ..ops.physics_kernel import build_substep_fn
+
+                self._substep_fn = build_substep_fn(
+                    m, self.kp, self.kd, self.torque_limits,
+                    self.contact_params, cfg.sim.dt, cfg.env.num_envs,
+                )
         self.smooth_idx = (
             self.reward_names.index("action_smoothness")
             if "action_smoothness" in self.reward_names else None
@@ -598,19 +618,26 @@ class XBotLEnv:
                 tau = self.kp * (targets - s.qj) - self.kd * s.u[:, 6:]
                 return jnp.clip(tau, -self.torque_limits, self.torque_limits)
 
-        phys, diag = control_step_batch(
-            self.model,
-            EnvPhysParams(
-                masses=state.masses, friction=state.friction,
-                com=state.body_com, inertia=state.body_inertia,
-            ),
-            self.terrain,
-            self.contact_params,
-            state.phys,
-            torque_fn,
-            cfg.control.decimation,
-            cfg.sim.dt,
-        )
+        if self._substep_fn is not None:
+            phys, diag = control_step_pallas(
+                self._substep_fn, state.phys, state.masses, state.friction,
+                targets, cfg.control.decimation, self.nj,
+            )
+        else:
+            phys, diag = control_step_batch(
+                self.model,
+                EnvPhysParams(
+                    masses=state.masses, friction=state.friction,
+                    com=state.body_com, inertia=state.body_inertia,
+                ),
+                self.terrain,
+                self.contact_params,
+                state.phys,
+                torque_fn,
+                cfg.control.decimation,
+                cfg.sim.dt,
+                freeze_mass_matrix=cfg.sim.freeze_mass_matrix,
+            )
 
         # ---- 3. counters + base quantities (humanoid_env.py:770-790) ----
         episode_length = state.episode_length + 1

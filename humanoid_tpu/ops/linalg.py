@@ -63,6 +63,44 @@ def chol_solve_unrolled(M, b):
     return jnp.stack(x, axis=-1)
 
 
+def chol_factor_unrolled(M):
+    """Lower Cholesky factor of SPD M (static trailing (n, n)), unrolled
+    like chol_solve_unrolled. Returned L has the true diagonal."""
+    n = M.shape[-1]
+    dtype = M.dtype
+    idx = jnp.arange(n)
+    A = M
+    cols = []
+    for k in range(n):
+        inv = lax.rsqrt(A[..., k, k])
+        col = A[..., :, k] * inv[..., None]
+        col = jnp.where(idx >= k, col, jnp.zeros((), dtype))
+        cols.append(col)
+        A = A - col[..., :, None] * col[..., None, :]
+    return jnp.stack(cols, axis=-1)
+
+
+def chol_apply_unrolled(L, b):
+    """Solve M x = b given L = chol(M) (two triangular sweeps). The
+    amortized half of a factor-once / solve-per-substep split (the physics
+    engine freezes the mass-matrix factor across PD substeps)."""
+    n = L.shape[-1]
+    y = b
+    ys = []
+    for k in range(n):
+        yk = y[..., k] / L[..., k, k]
+        ys.append(yk)
+        y = y - L[..., :, k] * yk[..., None]
+    yv = jnp.stack(ys, axis=-1)
+    x = [None] * n
+    acc = yv
+    for k in reversed(range(n)):
+        xk = acc[..., k] / L[..., k, k]
+        x[k] = xk
+        acc = acc - L[..., k, :] * xk[..., None]
+    return jnp.stack(x, axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # Pallas batched SPD solve: env axis on lanes, matrix unrolled to scalars
 # ---------------------------------------------------------------------------
@@ -101,6 +139,104 @@ def _chol_solve_kernel(m_ref, b_ref, out_ref, *, n: int):
         x[i] = s * invd[i]
     for i in range(n):
         out_ref[i, :] = x[i]
+
+
+def _chol_factor_kernel(m_ref, l_ref, *, n: int):
+    """Factor only: writes L (row-major, true diagonal) to l_ref."""
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = m_ref[j * n + j, :]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        iv = lax.rsqrt(s)
+        L[j][j] = s * iv
+        for i in range(j + 1, n):
+            t = m_ref[i * n + j, :]
+            for k in range(j):
+                t = t - L[i][k] * L[j][k]
+            L[i][j] = t * iv
+    for i in range(n):
+        for j in range(n):
+            l_ref[i * n + j, :] = (
+                L[i][j] if j <= i else jnp.zeros_like(L[i][i])
+            )
+
+
+def _chol_apply_kernel(l_ref, b_ref, out_ref, *, n: int):
+    """Two triangular sweeps against a cached factor."""
+    invd = [1.0 / l_ref[i * n + i, :] for i in range(n)]
+    y = [None] * n
+    for i in range(n):
+        s = b_ref[i, :]
+        for k in range(i):
+            s = s - l_ref[i * n + k, :] * y[k]
+        y[i] = s * invd[i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - l_ref[k * n + i, :] * x[k]
+        x[i] = s * invd[i]
+    for i in range(n):
+        out_ref[i, :] = x[i]
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def factor_spd_pallas(M, block: int = 512):
+    """Batched Cholesky factor via Pallas: (N, n, n) -> (N, n, n)."""
+    from jax.experimental import pallas as pl
+
+    N, n, _ = M.shape
+    assert N % block == 0, (N, block)
+    Mt = M.reshape(N, n * n).T
+    out = pl.pallas_call(
+        functools.partial(_chol_factor_kernel, n=n),
+        grid=(N // block,),
+        in_specs=[pl.BlockSpec((n * n, block), lambda g: (0, g))],
+        out_specs=pl.BlockSpec((n * n, block), lambda g: (0, g)),
+        out_shape=jax.ShapeDtypeStruct((n * n, N), M.dtype),
+    )(Mt)
+    return out.T.reshape(N, n, n)
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def apply_spd_pallas(L, b, block: int = 512):
+    """Batched cached-factor solve via Pallas: (N, n, n), (N, n) -> (N, n)."""
+    from jax.experimental import pallas as pl
+
+    N, n, _ = L.shape
+    assert N % block == 0, (N, block)
+    Lt = L.reshape(N, n * n).T
+    bt = b.T
+    out = pl.pallas_call(
+        functools.partial(_chol_apply_kernel, n=n),
+        grid=(N // block,),
+        in_specs=[
+            pl.BlockSpec((n * n, block), lambda g: (0, g)),
+            pl.BlockSpec((n, block), lambda g: (0, g)),
+        ],
+        out_specs=pl.BlockSpec((n, block), lambda g: (0, g)),
+        out_shape=jax.ShapeDtypeStruct((n, N), L.dtype),
+    )(Lt, bt)
+    return out.T
+
+
+def factor_spd_batch(M):
+    N = M.shape[0]
+    if jax.default_backend() == "tpu":
+        for blk in (512, 256, 128):
+            if N % blk == 0:
+                return factor_spd_pallas(M, block=blk)
+    return chol_factor_unrolled(M)
+
+
+def apply_spd_batch(L, b):
+    N = L.shape[0]
+    if jax.default_backend() == "tpu":
+        for blk in (512, 256, 128):
+            if N % blk == 0:
+                return apply_spd_pallas(L, b, block=blk)
+    return chol_apply_unrolled(L, b)
 
 
 @functools.partial(jax.jit, static_argnames=("block",))

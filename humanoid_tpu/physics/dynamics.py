@@ -67,7 +67,7 @@ def _dof_masks(model: RobotModel):
     return jnp.asarray(D)
 
 
-def compute_dynamics(
+def compute_kinematics_bias(
     model: RobotModel,
     base_pos,
     base_quat,
@@ -76,7 +76,13 @@ def compute_dynamics(
     mass: Optional[jnp.ndarray] = None,
     com: Optional[jnp.ndarray] = None,
     inertia: Optional[jnp.ndarray] = None,
-) -> DynamicsCache:
+):
+    """Everything except the mass matrix: FK, joint screws, per-body
+    spatial inertias, the velocity/bias recursion. Split out so the engine
+    can freeze the (slowly-varying) mass-matrix factor across PD substeps
+    while recomputing contact kinematics and bias forces every substep.
+
+    Returns (body_pos, body_quat, S, I_sp, v_sp, C)."""
     nj, nb, nv = model.nj, model.nj + 1, model.nv
     body_pos, body_quat = fk(model, base_pos, base_quat, qj)
     A = body_pos[0]
@@ -110,20 +116,6 @@ def compute_dynamics(
          m3 * jnp.broadcast_to(jnp.eye(3), rx.shape)], axis=-1
     )
     I_sp = jnp.concatenate([top, bot], axis=-2)                      # (nb,6,6)
-
-    # ---- composite inertias (reverse topological accumulation) ----
-    IC = [I_sp[b] for b in range(nb)]
-    for b in range(nb - 1, 0, -1):
-        p = int(model.parent[b])
-        IC[p] = IC[p] + IC[b]
-    IC_dof = jnp.stack([IC[0]] * 6 + [IC[b] for b in range(1, nb)])  # (nv,6,6)
-
-    # ---- CRBA: M = D∘(S F^T) symmetrized ----
-    F = jnp.einsum("vij,vj->vi", IC_dof, S)                          # (nv,6)
-    U = (S @ F.T) * _dof_masks(model)
-    M = U + U.T - jnp.diag(jnp.diag(U))
-    arm = jnp.concatenate([jnp.zeros(6), jnp.asarray(model.dof_armature)])
-    M = M + jnp.diag(arm)
 
     # ---- bias: velocity + bias-acceleration passes, subtree force sum ----
     v = [jnp.concatenate([u[0:3], u[3:6]])]
@@ -160,6 +152,41 @@ def compute_dynamics(
     C = C + jnp.concatenate(
         [jnp.zeros(6), jnp.asarray(model.dof_damping) * u[6:]]
     )
+    return body_pos, body_quat, S, I_sp, v_sp, C
+
+
+def assemble_mass_matrix(model: RobotModel, S, I_sp):
+    """CRBA from joint screws + per-body spatial inertias: composite
+    inertias by reverse topological accumulation, M = D∘(S F^T)
+    symmetrized, plus reflected armature."""
+    nb = model.nj + 1
+    IC = [I_sp[b] for b in range(nb)]
+    for b in range(nb - 1, 0, -1):
+        p = int(model.parent[b])
+        IC[p] = IC[p] + IC[b]
+    IC_dof = jnp.stack([IC[0]] * 6 + [IC[b] for b in range(1, nb)])  # (nv,6,6)
+    F = jnp.einsum("vij,vj->vi", IC_dof, S)                          # (nv,6)
+    U = (S @ F.T) * _dof_masks(model)
+    M = U + U.T - jnp.diag(jnp.diag(U))
+    arm = jnp.concatenate([jnp.zeros(6), jnp.asarray(model.dof_armature)])
+    return M + jnp.diag(arm)
+
+
+def compute_dynamics(
+    model: RobotModel,
+    base_pos,
+    base_quat,
+    qj,
+    u,
+    mass: Optional[jnp.ndarray] = None,
+    com: Optional[jnp.ndarray] = None,
+    inertia: Optional[jnp.ndarray] = None,
+) -> DynamicsCache:
+    body_pos, body_quat, S, I_sp, v_sp, C = compute_kinematics_bias(
+        model, base_pos, base_quat, qj, u, mass=mass, com=com,
+        inertia=inertia,
+    )
+    M = assemble_mass_matrix(model, S, I_sp)
     return DynamicsCache(body_pos, body_quat, M, C, v_sp)
 
 

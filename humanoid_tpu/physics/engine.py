@@ -200,6 +200,102 @@ def substep_batch(
     return new_state, diag
 
 
+def substep_batch_cached(
+    model: RobotModel,
+    params: EnvPhysParams,
+    terrain: Terrain,
+    contact_params: ContactParams,
+    state: PhysState,
+    tau_j: jnp.ndarray,
+    dt: float,
+    L: jnp.ndarray,
+) -> Tuple[PhysState, PhysDiag]:
+    """Substep against a frozen mass-matrix Cholesky factor L (N, nv, nv).
+
+    Kinematics, bias forces and contact are exact for the current state;
+    only the inertia coupling lags by up to one control period (joint
+    excursion < ~1e-2 rad at 100 Hz), the same order of approximation a
+    TGS-style iterative solver makes. Skipping the per-substep CRBA +
+    factorization removes ~45% of the physics cost."""
+    from ..ops.linalg import apply_spd_batch
+    from .dynamics import compute_kinematics_bias
+
+    N = tau_j.shape[0]
+    body_pos, body_quat, _, _, v_sp, C = jax.vmap(
+        lambda bp, bq, qj, u, m, c, I: compute_kinematics_bias(
+            model, bp, bq, qj, u, mass=m, com=c, inertia=I
+        )
+    )(
+        state.base_pos, state.base_quat, state.qj, state.u,
+        params.masses, params.com, params.inertia,
+    )
+    ci = jax.vmap(
+        lambda bp, bq, v, mu: contact_forces(
+            model, bp, bq, v, terrain, mu, contact_params
+        )
+    )(body_pos, body_quat, v_sp, params.friction)
+
+    tau_gen = (
+        jnp.concatenate([jnp.zeros((N, 6), tau_j.dtype), tau_j], axis=1)
+        + ci.tau_gen
+    )
+    udot = apply_spd_batch(L, tau_gen - C)
+    omega = state.u[:, 0:3]
+    v = state.u[:, 3:6]
+    lin = udot[:, 3:6] + jnp.cross(omega, v)
+    udot = jnp.concatenate([udot[:, 0:3], lin, udot[:, 6:]], axis=1)
+
+    u_new = state.u + dt * udot
+    new_state = PhysState(
+        base_pos=state.base_pos + dt * u_new[:, 3:6],
+        base_quat=quat_integrate(state.base_quat, u_new[:, 0:3], dt),
+        qj=state.qj + dt * u_new[:, 6:],
+        u=u_new,
+    )
+    n_feet = len(model.foot_bodies)
+    diag = PhysDiag(
+        body_pos=body_pos,
+        body_quat=body_quat,
+        body_omega=v_sp[:, :, 0:3],
+        foot_forces=ci.point_forces.reshape(N, n_feet, -1, 3).sum(axis=2),
+        term_force=ci.term_force,
+        tau=tau_j,
+    )
+    return new_state, diag
+
+
+def control_step_pallas(
+    substep_fn,
+    state: PhysState,
+    masses: jnp.ndarray,
+    friction: jnp.ndarray,
+    targets: jnp.ndarray,
+    decimation: int,
+    nj: int,
+) -> Tuple[PhysState, PhysDiag]:
+    """Decimated control step through the fused Pallas substep kernel
+    (ops/physics_kernel.py): PD + dynamics + contact + solve + integrate in
+    one VMEM-resident kernel per substep."""
+    from ..ops.physics_kernel import pack_state, unpack_state
+
+    pack = pack_state(state)
+
+    def body(p, _):
+        p2, diag = substep_fn(p, masses, friction, targets)
+        return p2, diag
+
+    pack, diags = jax.lax.scan(body, pack, None, length=decimation)
+    last = jax.tree.map(lambda x: x[-1], diags)
+    return unpack_state(pack, nj), PhysDiag(
+        body_pos=last.body_pos,
+        body_quat=last.body_quat,
+        body_omega=last.body_omega,
+        foot_forces=last.foot_forces,
+        term_force=last.term_force,
+        tau=last.tau,
+    )
+
+
 def control_step_batch(
     model: RobotModel,
     params: EnvPhysParams,
@@ -209,8 +305,40 @@ def control_step_batch(
     torque_fn: Callable[[PhysState], jnp.ndarray],
     decimation: int,
     dt: float,
+    freeze_mass_matrix: bool = False,
 ) -> Tuple[PhysState, PhysDiag]:
-    """Batched decimated control step (PD recomputed each substep)."""
+    """Batched decimated control step (PD recomputed each substep).
+
+    With freeze_mass_matrix, the CRBA mass matrix is assembled and
+    factorized ONCE per control step from the entry configuration and its
+    Cholesky factor is reused by all `decimation` substeps."""
+    if freeze_mass_matrix:
+        from ..ops.linalg import factor_spd_batch
+        from .dynamics import assemble_mass_matrix, compute_kinematics_bias
+
+        _, _, S, I_sp, _, _ = jax.vmap(
+            lambda bp, bq, qj, u, m, c, I: compute_kinematics_bias(
+                model, bp, bq, qj, u, mass=m, com=c, inertia=I
+            )
+        )(
+            state.base_pos, state.base_quat, state.qj, state.u,
+            params.masses, params.com, params.inertia,
+        )
+        M = jax.vmap(lambda s, i: assemble_mass_matrix(model, s, i))(S, I_sp)
+        L = factor_spd_batch(M)
+
+        def body_frozen(s, _):
+            tau = torque_fn(s)
+            s2, diag = substep_batch_cached(
+                model, params, terrain, contact_params, s, tau, dt, L
+            )
+            return s2, diag
+
+        state, diags = jax.lax.scan(
+            body_frozen, state, None, length=decimation
+        )
+        last = jax.tree.map(lambda x: x[-1], diags)
+        return state, last
 
     def body(s, _):
         tau = torque_fn(s)
