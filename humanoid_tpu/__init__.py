@@ -7,3 +7,30 @@ trainer, multi-chip env-axis sharding, and a MuJoCo sim2sim deployment gate.
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: the flagship training graph takes
+    minutes to compile; caching makes every subsequent process start in
+    seconds. Opt out with HUMANOID_TPU_NO_COMPILE_CACHE=1."""
+    import os
+
+    if os.environ.get("HUMANOID_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.join(
+                os.environ.get("HOME", "/tmp"), ".cache", "humanoid_tpu_xla"
+            ),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()

@@ -241,7 +241,11 @@ class OnPolicyRunner:
             self.train_state = carry.train_state
             if log_fn is not None:
                 fps = T * N / dt_iter
-                log_fn(self.iteration, metrics, fps, dt_iter)
+                # ONE device->host transfer for the whole metrics pytree;
+                # per-scalar float() pulls cost ~35 round trips per
+                # iteration (dominant at 2M+ env-steps/s over a remote
+                # device link)
+                log_fn(self.iteration, jax.device_get(metrics), fps, dt_iter)
             if self.log_dir and save_every and self.iteration % save_every == 0:
                 self.save()
         if self.log_dir:

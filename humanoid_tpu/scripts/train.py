@@ -26,6 +26,9 @@ def get_args(argv=None):
     p.add_argument("--checkpoint", type=int, default=-1)
     p.add_argument("--terrain", choices=["plane", "heightfield"])
     p.add_argument("--log-root", dest="log_root")
+    p.add_argument("--profile", type=int, default=0, metavar="N",
+                   help="capture an XLA device trace of N iterations "
+                        "(view with tensorboard --logdir <run_dir>)")
     return p.parse_args(argv)
 
 
@@ -62,7 +65,20 @@ def train(args) -> None:
     print(f"task={args.task} envs={env_cfg.env.num_envs} "
           f"iters={total} log_dir={runner.log_dir}")
     try:
-        runner.learn(total, init_at_random_ep_len=True, log_fn=log_fn)
+        if args.profile:
+            # warm up (compile) outside the trace, then capture N iters
+            from ..utils.profiling import device_trace
+
+            carry = runner.learn(1, init_at_random_ep_len=True,
+                                 log_fn=log_fn)
+            with device_trace(runner.log_dir):
+                carry = runner.learn(args.profile, log_fn=log_fn,
+                                     carry=carry)
+            print(f"trace written under {runner.log_dir}")
+            runner.learn(max(0, total - 1 - args.profile), log_fn=log_fn,
+                         carry=carry)
+        else:
+            runner.learn(total, init_at_random_ep_len=True, log_fn=log_fn)
     finally:
         logger.close()
 

@@ -1,0 +1,94 @@
+"""Fused Pallas substep kernel vs the XLA engine path (TPU-only).
+
+The kernel is a second f32 implementation of identical math; airborne
+accelerations reach thousands of rad/s^2 under PD transients, so
+state-update agreement is checked relative to the acceleration scale.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from humanoid_tpu.config.structs import EnvCfg, XBotLCfg
+from humanoid_tpu.env import XBotLEnv
+from humanoid_tpu.physics.engine import EnvPhysParams, substep_batch
+
+needs_tpu = pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="Pallas kernel is TPU-only"
+)
+
+N = 128
+
+
+def _setup():
+    cfg = XBotLCfg(env=EnvCfg(num_envs=N))
+    env = XBotLEnv(cfg)
+    s = env.initial_state(jax.random.PRNGKey(0))
+    from humanoid_tpu.ops.physics_kernel import build_substep_fn
+
+    fn = build_substep_fn(
+        env.model, env.kp, env.kd, env.torque_limits, env.contact_params,
+        0.001, N,
+    )
+    targets = jnp.tile(env.default_dof_pos, (N, 1))
+
+    def xla_sub(st):
+        def torque(s_):
+            tau = env.kp * (targets - s_.qj) - env.kd * s_.u[:, 6:]
+            return jnp.clip(tau, -env.torque_limits, env.torque_limits)
+
+        params = EnvPhysParams(masses=s.masses, friction=s.friction)
+        return substep_batch(
+            env.model, params, env.terrain, env.contact_params, st,
+            torque(st), 0.001,
+        )
+
+    return env, s, fn, targets, jax.jit(xla_sub)
+
+
+@needs_tpu
+def test_kernel_matches_xla_airborne():
+    from humanoid_tpu.ops.physics_kernel import pack_state, unpack_state
+
+    env, s, fn, targets, xla_sub = _setup()
+    ph = s.phys._replace(
+        base_pos=s.phys.base_pos.at[:, 2].set(5.0),
+        qj=s.phys.qj + 0.1 * jax.random.normal(
+            jax.random.PRNGKey(3), s.phys.qj.shape
+        ),
+        u=0.2 * jax.random.normal(jax.random.PRNGKey(4), s.phys.u.shape),
+    )
+    r_state, r_diag = xla_sub(ph)
+    out, k_diag = fn(pack_state(ph), s.masses, s.friction, targets)
+    k_state = unpack_state(out, env.nj)
+    # deterministic outputs must match exactly / to FK roundoff
+    assert np.allclose(np.asarray(k_diag.tau), np.asarray(r_diag.tau))
+    assert np.allclose(
+        np.asarray(k_diag.body_pos), np.asarray(r_diag.body_pos), atol=1e-4
+    )
+    assert np.allclose(
+        np.asarray(k_diag.term_force), np.asarray(r_diag.term_force)
+    )
+    # state update: relative to the acceleration scale of this transient
+    udot_scale = float(
+        jnp.max(jnp.abs(r_state.u - ph.u)) / 1e-3
+    )
+    du = float(jnp.max(jnp.abs(k_state.u - r_state.u))) / 1e-3
+    assert du / max(udot_scale, 1.0) < 1e-3, (du, udot_scale)
+
+
+@needs_tpu
+def test_kernel_standing_trajectory_tracks_xla():
+    from humanoid_tpu.ops.physics_kernel import pack_state, unpack_state
+
+    env, s, fn, targets, xla_sub = _setup()
+    ph_x = s.phys
+    pk = pack_state(s.phys)
+    for _ in range(100):
+        pk, _ = fn(pk, s.masses, s.friction, targets)
+        ph_x, _ = xla_sub(ph_x)
+    k_state = unpack_state(pk, env.nj)
+    assert float(jnp.max(jnp.abs(k_state.base_pos - ph_x.base_pos))) < 5e-3
+    assert float(jnp.max(jnp.abs(k_state.qj - ph_x.qj))) < 5e-2
+    # both remain standing
+    assert float(k_state.base_pos[:, 2].min()) > 0.7
