@@ -221,6 +221,7 @@ class OnPolicyRunner:
         T = self.cfg.runner.num_steps_per_env
         save_every = self.cfg.runner.save_interval
         course_ratio = self.env.cfg.rewards.course_ratio
+        pending = None
         for it in range(num_iterations):
             t0 = time.time()
             if course_ratio != 1.0:
@@ -234,20 +235,28 @@ class OnPolicyRunner:
                         )
                     )
                 )
+            # async dispatch; the device computes iteration `it` while the
+            # host logs iteration `it-1` below (double-buffered metrics:
+            # one batched device_get per iteration, overlapped with
+            # compute — per-scalar float() pulls were ~35 round trips)
             carry, metrics = self._train_iter(carry)
-            jax.block_until_ready(carry.train_state.params)
-            dt_iter = time.time() - t0
             self.iteration += 1
             self.train_state = carry.train_state
-            if log_fn is not None:
-                fps = T * N / dt_iter
-                # ONE device->host transfer for the whole metrics pytree;
-                # per-scalar float() pulls cost ~35 round trips per
-                # iteration (dominant at 2M+ env-steps/s over a remote
-                # device link)
-                log_fn(self.iteration, jax.device_get(metrics), fps, dt_iter)
+            if log_fn is not None and pending is not None:
+                p_it, p_metrics, p_t0 = pending
+                host_metrics = jax.device_get(p_metrics)  # syncs that iter
+                dt_iter = time.time() - p_t0
+                log_fn(p_it, host_metrics, T * N / dt_iter, dt_iter)
+            pending = (self.iteration, metrics, t0)
             if self.log_dir and save_every and self.iteration % save_every == 0:
+                jax.block_until_ready(carry.train_state.params)
                 self.save()
+        if pending is not None and log_fn is not None:
+            p_it, p_metrics, p_t0 = pending
+            host_metrics = jax.device_get(p_metrics)
+            dt_iter = time.time() - p_t0
+            log_fn(p_it, host_metrics, T * N / dt_iter, dt_iter)
+        jax.block_until_ready(carry.train_state.params)
         if self.log_dir:
             self.save()
         return carry

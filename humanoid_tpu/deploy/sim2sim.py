@@ -67,6 +67,7 @@ def run_mujoco(
     command_source: Optional[Callable[[], tuple]] = None,
     sw_switch: bool = False,
     stand_com_threshold: float = 0.05,
+    heading_hold: bool = False,
 ):
     """Replay `policy` (maps (1, frame_stack*K) obs -> (nj,) action).
 
@@ -113,6 +114,13 @@ def run_mujoco(
         if count_lowlevel % cfg.decimation == 0:
             if command_source is not None:
                 cmd = np.asarray(command_source(), dtype=np.float64)
+            if heading_hold:
+                # heading-mode policies are trained with wyaw recomputed
+                # from the heading error every step (humanoid_env.py
+                # heading command, legged_robot.py:405-407); mirror it so
+                # the replay matches the training command distribution
+                eu0 = _quat_to_euler(quat)
+                cmd[2] = np.clip(0.5 * (-eu0[2]), -1.0, 1.0)
             # stand/walk phase reset: zero-command episodes freeze the gait
             # clock so the policy sees no stepping signal
             # (reference sim2sim.py:201-208)
@@ -192,6 +200,10 @@ def main(argv=None):
                    help="drive commands from a gamepad (scripts/joystick.py)")
     p.add_argument("--sw-switch", dest="sw_switch", action="store_true",
                    help="freeze the gait clock on zero command")
+    p.add_argument("--heading-hold", dest="heading_hold",
+                   action="store_true",
+                   help="recompute wyaw from heading error (heading-mode "
+                        "policies)")
     args = p.parse_args(argv)
 
     from ..assets import XBOT_MJCF, XBOT_MJCF_TERRAIN, prepare_mujoco_xml
@@ -217,6 +229,7 @@ def main(argv=None):
     metrics = run_mujoco(
         policy, cfg, command=tuple(args.cmd),
         command_source=command_source, sw_switch=args.sw_switch,
+        heading_hold=args.heading_hold,
     )
     print(metrics)
     return metrics

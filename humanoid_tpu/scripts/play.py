@@ -68,6 +68,24 @@ def play(args):
         meta={"iteration": runner.iteration},
     )
     print(f"exported policy: {npz_path}")
+    # reference artifact parity: TorchScript pair + ONNX actor
+    # (helpers.py:242-254; OnnxTest.onnx)
+    try:
+        from ..deploy.export import (
+            export_policy_onnx,
+            export_policy_torchscript,
+        )
+
+        ts = export_policy_torchscript(runner.train_state.params,
+                                       args.out_dir)
+        onnx_path = export_policy_onnx(
+            runner.train_state.params,
+            os.path.join(args.out_dir, "policy.onnx"),
+            env.cfg.env.num_observations,
+        )
+        print(f"exported: {', '.join(ts)} + {os.path.basename(onnx_path)}")
+    except Exception as e:  # torch is a deploy-only optional dependency
+        print(f"torchscript/onnx export skipped: {e}")
 
     N = args.num_envs
     policy = runner.inference_policy()

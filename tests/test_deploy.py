@@ -86,3 +86,56 @@ def test_quintic_gait_tool():
     assert abs(h[0]) < 1e-9
     assert abs(h.max() - 0.06) < 1e-3
     assert abs(v[np.argmax(h)]) < 0.02
+
+
+def test_torchscript_and_onnx_export(tmp_path):
+    """TorchScript pair (helpers.py:242-254 artifacts) + ONNX actor export
+    agree with the jax forward."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from humanoid_tpu.algo.networks import ActorCritic, init_params
+    from humanoid_tpu.config.structs import XBotLCfg, XBotLCfgPPO
+    from humanoid_tpu.deploy.export import (
+        export_policy_onnx,
+        export_policy_torchscript,
+    )
+
+    cfg, tcfg = XBotLCfg(), XBotLCfgPPO()
+    net = ActorCritic(
+        num_actions=cfg.env.num_actions,
+        actor_hidden_dims=tcfg.policy.actor_hidden_dims,
+        critic_hidden_dims=tcfg.policy.critic_hidden_dims,
+        vel_est_hidden_dims=tcfg.policy.vel_est_hidden_dims,
+    )
+    params = init_params(
+        jax.random.PRNGKey(0), net, cfg.env.num_observations,
+        cfg.env.num_privileged_obs,
+    )
+    obs = np.random.RandomState(0).randn(
+        3, cfg.env.num_observations
+    ).astype(np.float32)
+    ref_act = np.asarray(net.apply(params, jnp.asarray(obs),
+                                   method="act_mean"))
+    ref_vel = np.asarray(net.apply(params, jnp.asarray(obs),
+                                   method="estimate_vel"))
+
+    import torch
+
+    paths = export_policy_torchscript(params, str(tmp_path))
+    pol = torch.jit.load(paths["policy_1.pt"])
+    vel = torch.jit.load(paths["base_lin_vel.pt"])
+    with torch.no_grad():
+        ts_act = pol(torch.from_numpy(obs)).numpy()
+        ts_vel = vel(torch.from_numpy(obs)).numpy()
+    assert np.allclose(ts_act, ref_act, atol=1e-5)
+    assert np.allclose(ts_vel, ref_vel, atol=1e-5)
+
+    onnx_path = export_policy_onnx(
+        params, str(tmp_path / "actor.onnx"), cfg.env.num_observations
+    )
+    from humanoid_tpu.deploy.onnx_loader import load_onnx_mlp
+
+    f = load_onnx_mlp(onnx_path)
+    assert np.allclose(f(obs), ref_act, atol=1e-5)
