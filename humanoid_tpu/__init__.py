@@ -33,4 +33,16 @@ def _enable_compilation_cache() -> None:
         pass
 
 
+def _default_headless_gl() -> None:
+    """MuJoCo latches its GL backend at first `import mujoco`
+    (mujoco/rendering/classic/gl_context.py reads MUJOCO_GL at import), so
+    the headless default must be set before anything imports it. Offscreen
+    video capture (deploy/video.py) needs EGL in display-less containers."""
+    import os
+
+    if "MUJOCO_GL" not in os.environ and not os.environ.get("DISPLAY"):
+        os.environ["MUJOCO_GL"] = "egl"
+
+
 _enable_compilation_cache()
+_default_headless_gl()

@@ -68,6 +68,8 @@ def run_mujoco(
     sw_switch: bool = False,
     stand_com_threshold: float = 0.05,
     heading_hold: bool = False,
+    video_path: Optional[str] = None,
+    video_fps: float = 30.0,
 ):
     """Replay `policy` (maps (1, frame_stack*K) obs -> (nj,) action).
 
@@ -98,6 +100,14 @@ def run_mujoco(
     action = np.zeros(nj, dtype=np.float64)
     target_q = default_pos.copy()
     cmd = np.asarray(command, dtype=np.float64)
+
+    recorder = None
+    render_every = 0
+    if video_path is not None:
+        from .video import VideoRecorder
+
+        recorder = VideoRecorder(video_path, fps=video_fps, model_path=path)
+        render_every = max(1, int(round(1.0 / (video_fps * cfg.dt))))
 
     n_steps = int(cfg.sim_duration / cfg.dt)
     start_xy = data.qpos[0:2].copy()
@@ -163,6 +173,8 @@ def run_mujoco(
 
         mujoco.mj_step(model, data)
         count_lowlevel += 1
+        if recorder is not None and step % render_every == 0:
+            recorder.add_qpos(data.qpos)
 
         base_z = data.qpos[2] + model.body_pos[base_id][2]
         if record_states and count_lowlevel % cfg.decimation == 0:
@@ -173,6 +185,8 @@ def run_mujoco(
             survived = step * cfg.dt
             break
 
+    if recorder is not None:
+        print(f"video: {recorder.close()} ({recorder.frames} frames)")
     dist = float(np.linalg.norm(data.qpos[0:2] - start_xy))
     out = {
         "survived_s": float(survived),
@@ -204,6 +218,9 @@ def main(argv=None):
                    action="store_true",
                    help="recompute wyaw from heading error (heading-mode "
                         "policies)")
+    p.add_argument("--video", nargs="?", const="/tmp/sim2sim.mp4",
+                   default=None, metavar="PATH",
+                   help="record an offscreen camera-follow mp4")
     args = p.parse_args(argv)
 
     from ..assets import XBOT_MJCF, XBOT_MJCF_TERRAIN, prepare_mujoco_xml
@@ -229,7 +246,7 @@ def main(argv=None):
     metrics = run_mujoco(
         policy, cfg, command=tuple(args.cmd),
         command_source=command_source, sw_switch=args.sw_switch,
-        heading_hold=args.heading_hold,
+        heading_hold=args.heading_hold, video_path=args.video,
     )
     print(metrics)
     return metrics

@@ -27,6 +27,10 @@ def get_args(argv=None):
     p.add_argument("--cmd", type=float, nargs=3, default=[0.5, 0.0, 0.0])
     p.add_argument("--log-root", dest="log_root")
     p.add_argument("--out-dir", dest="out_dir", default="/tmp/humanoid_play")
+    p.add_argument("--video", action="store_true",
+                   help="record a camera-follow mp4 of env 0 (offscreen "
+                        "MuJoCo replay of the TPU-sim trajectory; reference "
+                        "play.py:91-144)")
     return p.parse_args(argv)
 
 
@@ -96,6 +100,16 @@ def play(args):
 
     logger = EvalLogger(env.dt)
     actions_log = []
+    recorder = None
+    render_every = 1
+    if args.video:
+        from ..deploy.video import VideoRecorder
+
+        render_every = 3  # 100 Hz control -> ~33 fps video
+        recorder = VideoRecorder(
+            os.path.join(args.out_dir, "play.mp4"),
+            fps=1.0 / (render_every * env.dt),
+        )
     joint = 2
     for i in range(args.steps):
         state = state._replace(commands=cmd)
@@ -104,6 +118,11 @@ def play(args):
             actions_log.append(np.array(action[0]))
         state, out = step(state, action, jax.random.PRNGKey(2 + i))
         phys = state.phys
+        if recorder is not None and i % render_every == 0:
+            recorder.add_state(
+                np.array(phys.base_pos[0]), np.array(phys.base_quat[0]),
+                np.array(phys.qj[0]),
+            )
         from ..physics.spatial import quat_rotate_inverse
 
         v_body = quat_rotate_inverse(phys.base_quat, phys.u[:, 3:6])
@@ -128,6 +147,8 @@ def play(args):
         os.path.join(args.out_dir, "openloop_action.npz"),
         action=np.array(actions_log),
     )
+    if recorder is not None:
+        print(f"video: {recorder.close()} ({recorder.frames} frames)")
     png = logger.plot_states(os.path.join(args.out_dir, "eval.png"))
     z = float(state.phys.base_pos[0, 2])
     print(f"rollout done: {args.steps} steps, final base z {z:.3f}, "

@@ -88,6 +88,25 @@ def test_quintic_gait_tool():
     assert abs(v[np.argmax(h)]) < 0.02
 
 
+def test_video_recorder(tmp_path):
+    """Offscreen camera-follow mp4 capture (reference play.py:91-144)."""
+    pytest.importorskip("mujoco")
+    pytest.importorskip("cv2")
+    try:
+        from humanoid_tpu.deploy.video import VideoRecorder
+
+        rec = VideoRecorder(str(tmp_path / "v.mp4"), fps=30, width=160,
+                            height=120)
+    except Exception as e:  # no EGL device in some CI sandboxes
+        pytest.skip(f"offscreen GL unavailable: {e}")
+    for i in range(3):
+        rec.add_state(np.array([0.01 * i, 0.0, 0.95]),
+                      np.array([1.0, 0.0, 0.0, 0.0]), np.zeros(12))
+    path = rec.close()
+    assert rec.frames == 3
+    assert os.path.getsize(path) > 1000
+
+
 def test_torchscript_and_onnx_export(tmp_path):
     """TorchScript pair (helpers.py:242-254 artifacts) + ONNX actor export
     agree with the jax forward."""
