@@ -24,12 +24,18 @@ MIN_STD = 1e-3
 class MLP(nn.Module):
     dims: Sequence[int]
     out_dim: int
+    # computation dtype: bf16 hits the MXU at 2x fp32 throughput; params
+    # stay fp32 (flax casts per-matmul) and bf16 dots accumulate fp32 on
+    # TPU, so only activations round. Output is cast back to fp32.
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         for d in self.dims:
-            x = nn.elu(nn.Dense(d)(x))
-        return nn.Dense(self.out_dim)(x)
+            x = nn.elu(nn.Dense(d, dtype=self.dtype)(x))
+        return nn.Dense(self.out_dim, dtype=self.dtype)(x).astype(
+            jnp.float32
+        )
 
 
 class ActorCritic(nn.Module):
@@ -38,11 +44,13 @@ class ActorCritic(nn.Module):
     critic_hidden_dims: Sequence[int] = (768, 256, 128)
     vel_est_hidden_dims: Sequence[int] = (128, 128)
     init_noise_std: float = 1.0
+    compute_dtype: str = "float32"
 
     def setup(self):
-        self.actor = MLP(self.actor_hidden_dims, self.num_actions)
-        self.critic = MLP(self.critic_hidden_dims, 1)
-        self.vel_est = MLP(self.vel_est_hidden_dims, 3)
+        dt = jnp.dtype(self.compute_dtype)
+        self.actor = MLP(self.actor_hidden_dims, self.num_actions, dtype=dt)
+        self.critic = MLP(self.critic_hidden_dims, 1, dtype=dt)
+        self.vel_est = MLP(self.vel_est_hidden_dims, 3, dtype=dt)
         self.std = self.param(
             "std",
             lambda key, shape: jnp.full(shape, self.init_noise_std),

@@ -57,6 +57,7 @@ class OnPolicyRunner:
             critic_hidden_dims=train_cfg.policy.critic_hidden_dims,
             vel_est_hidden_dims=train_cfg.policy.vel_est_hidden_dims,
             init_noise_std=train_cfg.policy.init_noise_std,
+            compute_dtype=train_cfg.policy.compute_dtype,
         )
         key = jax.random.PRNGKey(train_cfg.seed)
         kinit, self.key = jax.random.split(key)
@@ -130,9 +131,14 @@ class OnPolicyRunner:
             env_state, out = self.env.step(env_state, action, k_env)
             # timeout bootstrapping (ppo.py:132-138)
             reward = out.rew + acfg.gamma * value * out.time_outs
+            # store obs in the compute dtype: under bf16 they only feed
+            # bf16 matmuls in the update, and the (T*N, K) trajectory is
+            # the iteration's largest HBM tenant — halving it halves
+            # shuffle+update read traffic
+            store_dt = jnp.dtype(self.cfg.policy.compute_dtype)
             transition = Batch(
-                obs=obs,
-                critic_obs=critic_obs,
+                obs=obs.astype(store_dt),
+                critic_obs=critic_obs.astype(store_dt),
                 actions=action,
                 old_logp=logp,
                 old_mu=mean,

@@ -76,8 +76,9 @@ class SimCfg:
     contact_v_reg: float = 0.05
     # assemble + factorize the CRBA mass matrix once per control step and
     # reuse the Cholesky factor for all decimation substeps (configuration
-    # drift < ~1e-2 rad at 100 Hz)
-    freeze_mass_matrix: bool = False
+    # drift < ~1e-2 rad at 100 Hz; validated for reward parity + sim2sim
+    # gate — see tests/test_physics_kernel.py frozen tolerance test)
+    freeze_mass_matrix: bool = True
     # fused Pallas substep kernel on TPU (ops/physics_kernel.py) when the
     # task is eligible (plane terrain, no per-env inertia/gain overrides)
     use_pallas_substep: bool = True
@@ -322,6 +323,9 @@ class PolicyCfg:
     actor_hidden_dims: Tuple[int, ...] = (512, 256, 128)
     critic_hidden_dims: Tuple[int, ...] = (768, 256, 128)
     vel_est_hidden_dims: Tuple[int, ...] = (128, 128)
+    # MXU mixed precision: matmuls in bfloat16, params/accumulation in
+    # fp32 (TPU bf16 dot accumulates fp32). "float32" for exact mode.
+    compute_dtype: str = "bfloat16"
 
 
 @dataclass(frozen=True)

@@ -30,7 +30,7 @@ from ..physics.engine import (
     PhysDiag,
     PhysState,
     control_step_batch,
-    control_step_pallas,
+    control_step_pallas_fused,
 )
 from ..physics.model import RobotModel
 from ..physics.spatial import (
@@ -203,9 +203,12 @@ class XBotLEnv:
             np.ceil(dr.dof_rand_interval_s / self.dt)
         )
         self.sw_switch = cfg.commands.sw_switch
-        # fused Pallas substep kernel: TPU + plane terrain + no per-env
-        # inertia/gain overrides (ops/physics_kernel.py)
+        # fused Pallas control-step kernel: TPU + plane terrain + no per-env
+        # inertia/gain overrides (ops/physics_kernel.py). The whole
+        # decimation loop runs in ONE kernel; freeze_mass_matrix reuses a
+        # once-per-control-step Cholesky factor across its substeps.
         self._substep_fn = None
+        self._control_fn = None
         if (
             cfg.sim.use_pallas_substep
             and self.terrain.flat
@@ -216,11 +219,13 @@ class XBotLEnv:
             import jax as _jax
 
             if _jax.default_backend() == "tpu":
-                from ..ops.physics_kernel import build_substep_fn
+                from ..ops.physics_kernel import build_control_fn
 
-                self._substep_fn = build_substep_fn(
+                self._control_fn = build_control_fn(
                     m, self.kp, self.kd, self.torque_limits,
                     self.contact_params, cfg.sim.dt, cfg.env.num_envs,
+                    cfg.control.decimation,
+                    freeze=cfg.sim.freeze_mass_matrix,
                 )
         self.smooth_idx = (
             self.reward_names.index("action_smoothness")
@@ -618,10 +623,10 @@ class XBotLEnv:
                 tau = self.kp * (targets - s.qj) - self.kd * s.u[:, 6:]
                 return jnp.clip(tau, -self.torque_limits, self.torque_limits)
 
-        if self._substep_fn is not None:
-            phys, diag = control_step_pallas(
-                self._substep_fn, state.phys, state.masses, state.friction,
-                targets, cfg.control.decimation, self.nj,
+        if self._control_fn is not None:
+            phys, diag = control_step_pallas_fused(
+                self._control_fn, state.phys, state.masses, state.friction,
+                targets, self.nj,
             )
         else:
             phys, diag = control_step_batch(

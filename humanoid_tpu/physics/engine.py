@@ -8,6 +8,7 @@ fused XLA computation and state never leaves the device.
 """
 from __future__ import annotations
 
+import functools
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
@@ -62,12 +63,27 @@ class EnvPhysParams(NamedTuple):
     inertia: Optional[jnp.ndarray] = None  # (nb,3,3) body-frame inertias
 
 
+def _fp32_matmuls(fn):
+    """Trace with full-precision matmuls: TPU's default dot precision runs
+    fp32 inputs through bf16 MXU passes, which costs ~3 decimal digits on
+    the (6,6) dynamics algebra — measured 5% udot error on airborne
+    transients vs the Pallas kernel's exact-fp32 VPU math. The physics
+    integrator must not inherit that."""
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
 def default_phys_params(model: RobotModel) -> EnvPhysParams:
     return EnvPhysParams(
         masses=jnp.asarray(model.mass), friction=jnp.asarray(1.0)
     )
 
 
+@_fp32_matmuls
 def substep(
     model: RobotModel,
     params: EnvPhysParams,
@@ -108,6 +124,7 @@ def substep(
     return new_state, diag
 
 
+@_fp32_matmuls
 def control_step(
     model: RobotModel,
     params: EnvPhysParams,
@@ -142,6 +159,7 @@ def control_step(
 # hot op on TPU (13.3 ms stock XLA -> sub-ms).
 # ---------------------------------------------------------------------------
 
+@_fp32_matmuls
 def substep_batch(
     model: RobotModel,
     params: EnvPhysParams,      # batched leaves: masses (N, nb), friction (N,)
@@ -200,6 +218,7 @@ def substep_batch(
     return new_state, diag
 
 
+@_fp32_matmuls
 def substep_batch_cached(
     model: RobotModel,
     params: EnvPhysParams,
@@ -296,6 +315,32 @@ def control_step_pallas(
     )
 
 
+def control_step_pallas_fused(
+    control_fn,
+    state: PhysState,
+    masses: jnp.ndarray,
+    friction: jnp.ndarray,
+    targets: jnp.ndarray,
+    nj: int,
+) -> Tuple[PhysState, PhysDiag]:
+    """Decimated control step as ONE fused Pallas kernel
+    (ops/physics_kernel.py build_control_fn): the substep loop runs
+    on-chip and the diag is the last substep's, matching the reference's
+    refresh-after-simulate semantics (humanoid_env.py:649-651)."""
+    from ..ops.physics_kernel import pack_state, unpack_state
+
+    pack, diag = control_fn(pack_state(state), masses, friction, targets)
+    return unpack_state(pack, nj), PhysDiag(
+        body_pos=diag.body_pos,
+        body_quat=diag.body_quat,
+        body_omega=diag.body_omega,
+        foot_forces=diag.foot_forces,
+        term_force=diag.term_force,
+        tau=diag.tau,
+    )
+
+
+@_fp32_matmuls
 def control_step_batch(
     model: RobotModel,
     params: EnvPhysParams,

@@ -29,11 +29,25 @@ def get_args(argv=None):
     p.add_argument("--profile", type=int, default=0, metavar="N",
                    help="capture an XLA device trace of N iterations "
                         "(view with tensorboard --logdir <run_dir>)")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard the env axis over all visible devices "
+                        "(data-parallel rollout, psum'd gradients via "
+                        "GSPMD; see parallel/mesh.py)")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() first so "
+                        "jax.devices() spans all hosts (use with --mesh)")
     return p.parse_args(argv)
 
 
 def train(args) -> None:
     import os
+
+    if getattr(args, "multihost", False):
+        # multi-host DP: every host runs this same script;
+        # jax.devices() then spans the full slice (SURVEY.md §5.8)
+        import jax
+
+        jax.distributed.initialize()
 
     from ..utils import registry
     from ..utils.checkpoint import get_load_path
@@ -64,13 +78,21 @@ def train(args) -> None:
 
     print(f"task={args.task} envs={env_cfg.env.num_envs} "
           f"iters={total} log_dir={runner.log_dir}")
+    carry = None
+    if getattr(args, "mesh", False):
+        from ..parallel.mesh import make_mesh, shard_env_pytree
+
+        mesh = make_mesh()
+        carry = runner.init_carry(init_at_random_ep_len=True)
+        carry = shard_env_pytree(carry, mesh, env_cfg.env.num_envs)
+        print(f"env axis sharded over {mesh.devices.size} devices")
     try:
         if args.profile:
             # warm up (compile) outside the trace, then capture N iters
             from ..utils.profiling import device_trace
 
             carry = runner.learn(1, init_at_random_ep_len=True,
-                                 log_fn=log_fn)
+                                 log_fn=log_fn, carry=carry)
             with device_trace(runner.log_dir):
                 carry = runner.learn(args.profile, log_fn=log_fn,
                                      carry=carry)
@@ -78,7 +100,8 @@ def train(args) -> None:
             runner.learn(max(0, total - 1 - args.profile), log_fn=log_fn,
                          carry=carry)
         else:
-            runner.learn(total, init_at_random_ep_len=True, log_fn=log_fn)
+            runner.learn(total, init_at_random_ep_len=True, log_fn=log_fn,
+                         carry=carry)
     finally:
         logger.close()
 

@@ -17,4 +17,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# HUMANOID_TPU_TEST_TPU=1 keeps the real backend so the @needs_tpu kernel
+# tests (tests/test_physics_kernel.py) actually execute on hardware.
+if not os.environ.get("HUMANOID_TPU_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")

@@ -92,3 +92,55 @@ def test_kernel_standing_trajectory_tracks_xla():
     assert float(jnp.max(jnp.abs(k_state.qj - ph_x.qj))) < 5e-2
     # both remain standing
     assert float(k_state.base_pos[:, 2].min()) > 0.7
+
+
+@needs_tpu
+def test_fused_control_kernel_exact_matches_scanned():
+    """build_control_fn(freeze=False) runs the decimation loop on-chip and
+    must be bit-identical to scanning build_substep_fn."""
+    from humanoid_tpu.ops.physics_kernel import build_control_fn, pack_state
+    from humanoid_tpu.physics.engine import (
+        control_step_pallas,
+        control_step_pallas_fused,
+    )
+
+    env, s, fn, targets, _ = _setup()
+    ctrl = build_control_fn(
+        env.model, env.kp, env.kd, env.torque_limits, env.contact_params,
+        0.001, N, 10, freeze=False,
+    )
+    p1, d1 = control_step_pallas(
+        fn, s.phys, s.masses, s.friction, targets, 10, env.nj
+    )
+    p2, d2 = control_step_pallas_fused(
+        ctrl, s.phys, s.masses, s.friction, targets, env.nj
+    )
+    for a, b in zip(p1, p2):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert np.array_equal(
+        np.asarray(d1.foot_forces), np.asarray(d2.foot_forces)
+    )
+
+
+@needs_tpu
+def test_fused_control_kernel_frozen_close_to_exact():
+    """freeze=True (one mass-matrix factorization per control step) stays
+    within the TGS-approximation tolerance of the exact path over a
+    control step."""
+    from humanoid_tpu.ops.physics_kernel import build_control_fn
+    from humanoid_tpu.physics.engine import control_step_pallas_fused
+
+    env, s, fn, targets, _ = _setup()
+    mk_args = (env.model, env.kp, env.kd, env.torque_limits,
+               env.contact_params, 0.001, N)
+    exact = build_control_fn(*mk_args, 10, freeze=False)
+    frozen = build_control_fn(*mk_args, 10, freeze=True)
+    p1, _ = control_step_pallas_fused(
+        exact, s.phys, s.masses, s.friction, targets, env.nj
+    )
+    p2, _ = control_step_pallas_fused(
+        frozen, s.phys, s.masses, s.friction, targets, env.nj
+    )
+    assert float(jnp.max(jnp.abs(p1.qj - p2.qj))) < 1e-3
+    assert float(jnp.max(jnp.abs(p1.base_pos - p2.base_pos))) < 1e-3
+    assert float(jnp.max(jnp.abs(p1.u - p2.u))) < 0.1
