@@ -40,18 +40,23 @@ def main():
     runner = OnPolicyRunner(env, tcfg)
     carry = runner.init_carry()
 
+    # measure the production dispatch path: K iterations per jitted call
+    # (runner.learn superstep; amortizes host dispatch latency)
+    K = tcfg.runner.iters_per_dispatch
+    step = runner._train_superstep(K)
+
     for _ in range(args.warmup):
-        carry, _ = runner._train_iter(carry)
+        carry, _ = step(carry)
         jax.block_until_ready(carry.train_state.params)
 
     times = []
     for _ in range(args.iters):
         t0 = time.time()
-        carry, metrics = runner._train_iter(carry)
+        carry, metrics = step(carry)
         jax.block_until_ready(carry.train_state.params)
         times.append(time.time() - t0)
 
-    best = min(times)
+    best = min(times) / K
     fps = args.steps * args.num_envs / best
     print(
         json.dumps(

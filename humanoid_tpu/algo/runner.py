@@ -83,6 +83,24 @@ class OnPolicyRunner:
             self.obs_perm = self.act_perm = None
         self.iteration = 0
         self._train_iter = jax.jit(self._train_iteration)
+        # superstep: K iterations per dispatch (lax.scan). Device time per
+        # iteration is ~64 ms but each host->device dispatch costs tens of
+        # ms (buffer marshalling / remote-tunnel latency), so batching K
+        # iterations into ONE jitted call amortizes it K-fold.
+        self._superstep_cache = {}
+
+    def _train_superstep(self, k: int):
+        fn = self._superstep_cache.get(k)
+        if fn is None:
+            def scan_k(carry):
+                return jax.lax.scan(
+                    lambda c, _: self._train_iteration(c), carry, None,
+                    length=k,
+                )
+
+            fn = jax.jit(scan_k)
+            self._superstep_cache[k] = fn
+        return fn
 
     # ------------------------------------------------------------------
 
@@ -121,6 +139,20 @@ class OnPolicyRunner:
         acfg = self.cfg.algorithm
         T = self.cfg.runner.num_steps_per_env
         net = self.net
+
+        course_ratio = self.env.cfg.rewards.course_ratio
+        if course_ratio != 1.0:
+            # reward curriculum gain, x ratio per iteration capped at 20
+            # (on_policy_runner.py:160-162); applied on-device so the
+            # iteration scans cleanly into supersteps
+            es = carry.env_state
+            carry = carry._replace(
+                env_state=es._replace(
+                    course_gain=jnp.minimum(
+                        20.0, es.course_gain * course_ratio
+                    )
+                )
+            )
 
         def rollout_step(c, _):
             ts, env_state, obs, critic_obs, key = c
@@ -226,42 +258,40 @@ class OnPolicyRunner:
         N = self.env.cfg.env.num_envs
         T = self.cfg.runner.num_steps_per_env
         save_every = self.cfg.runner.save_interval
-        course_ratio = self.env.cfg.rewards.course_ratio
+        K = max(1, min(self.cfg.runner.iters_per_dispatch, num_iterations))
         pending = None
-        for it in range(num_iterations):
+
+        def flush(pending):
+            # double-buffered metrics: the device computes the next chunk
+            # while the host logs the previous one (one batched device_get
+            # per dispatch; per-scalar float() pulls were ~35 round trips)
+            last_it, p_metrics, p_t0, p_k = pending
+            host = jax.device_get(p_metrics)  # syncs that chunk
+            dt = time.time() - p_t0
+            for j in range(p_k):
+                m_j = jax.tree.map(lambda x: x[j], host)
+                log_fn(last_it - p_k + 1 + j, m_j, T * N * p_k / dt,
+                       dt / p_k)
+
+        done = 0
+        while done < num_iterations:
+            k = min(K, num_iterations - done)
+            if save_every:
+                # never cross a checkpoint boundary inside one dispatch
+                k = min(k, save_every - (self.iteration % save_every))
             t0 = time.time()
-            if course_ratio != 1.0:
-                # reward curriculum gain, x ratio per iteration capped at 20
-                # (on_policy_runner.py:160-162)
-                es = carry.env_state
-                carry = carry._replace(
-                    env_state=es._replace(
-                        course_gain=jnp.minimum(
-                            20.0, es.course_gain * course_ratio
-                        )
-                    )
-                )
-            # async dispatch; the device computes iteration `it` while the
-            # host logs iteration `it-1` below (double-buffered metrics:
-            # one batched device_get per iteration, overlapped with
-            # compute — per-scalar float() pulls were ~35 round trips)
-            carry, metrics = self._train_iter(carry)
-            self.iteration += 1
+            carry, metrics = self._train_superstep(k)(carry)
+            self.iteration += k
+            done += k
             self.train_state = carry.train_state
             if log_fn is not None and pending is not None:
-                p_it, p_metrics, p_t0 = pending
-                host_metrics = jax.device_get(p_metrics)  # syncs that iter
-                dt_iter = time.time() - p_t0
-                log_fn(p_it, host_metrics, T * N / dt_iter, dt_iter)
-            pending = (self.iteration, metrics, t0)
+                flush(pending)
+            pending = (self.iteration, metrics, t0, k)
             if self.log_dir and save_every and self.iteration % save_every == 0:
                 jax.block_until_ready(carry.train_state.params)
                 self.save()
         if pending is not None and log_fn is not None:
-            p_it, p_metrics, p_t0 = pending
-            host_metrics = jax.device_get(p_metrics)
-            dt_iter = time.time() - p_t0
-            log_fn(p_it, host_metrics, T * N / dt_iter, dt_iter)
+            flush(pending)
         jax.block_until_ready(carry.train_state.params)
         if self.log_dir:
             self.save()

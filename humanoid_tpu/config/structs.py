@@ -359,6 +359,11 @@ class RunnerCfg:
     run_name: str = ""
     resume: bool = False
     log_interval: int = 1
+    # iterations per host->device dispatch (lax.scan superstep): device
+    # time is ~64 ms/iter but each dispatch costs tens of ms of host
+    # marshalling, so batching amortizes it (metrics still logged per
+    # iteration; checkpoints never split a dispatch)
+    iters_per_dispatch: int = 10
 
 
 @dataclass(frozen=True)

@@ -111,41 +111,58 @@ def play(args):
             fps=1.0 / (render_every * env.dt),
         )
     joint = 2
+    frames_pending = []
+    states_pending = []
     for i in range(args.steps):
         state = state._replace(commands=cmd)
         action = policy(out.obs)
         if i < 100:
-            actions_log.append(np.array(action[0]))
+            actions_log.append(action[0])
         state, out = step(state, action, jax.random.PRNGKey(2 + i))
         phys = state.phys
         if recorder is not None and i % render_every == 0:
-            recorder.add_state(
-                np.array(phys.base_pos[0]), np.array(phys.base_quat[0]),
-                np.array(phys.qj[0]),
+            frames_pending.append(
+                (phys.base_pos[0], phys.base_quat[0], phys.qj[0])
             )
         from ..physics.spatial import quat_rotate_inverse
 
-        v_body = quat_rotate_inverse(phys.base_quat, phys.u[:, 3:6])
-        w_body = quat_rotate_inverse(phys.base_quat, phys.u[:, 0:3])
+        v_body = quat_rotate_inverse(phys.base_quat[:1], phys.u[:1, 3:6])
+        w_body = quat_rotate_inverse(phys.base_quat[:1], phys.u[:1, 0:3])
+        # keep values on-device; one batched device_get at the end (a
+        # per-step float() pull costs a full host round trip each)
+        states_pending.append(
+            jnp.concatenate([
+                phys.qj[0, joint, None], action[0, joint, None] * 0.25,
+                phys.u[0, 6 + joint, None], v_body[0], w_body[0, 2, None],
+                cmd[0, 0:3], phys.base_pos[0, 2, None],
+            ])
+        )
+
+    for row in np.asarray(jax.device_get(jnp.stack(states_pending))):
         logger.log_states(
             {
-                "dof_pos": float(phys.qj[0, joint]),
-                "dof_pos_target": float(action[0, joint]) * 0.25,
-                "dof_vel": float(phys.u[0, 6 + joint]),
-                "base_vel_x": float(v_body[0, 0]),
-                "base_vel_y": float(v_body[0, 1]),
-                "base_vel_z": float(v_body[0, 2]),
-                "base_vel_yaw": float(w_body[0, 2]),
-                "command_x": float(cmd[0, 0]),
-                "command_y": float(cmd[0, 1]),
-                "command_yaw": float(cmd[0, 2]),
-                "base_height": float(phys.base_pos[0, 2]),
+                "dof_pos": row[0],
+                "dof_pos_target": row[1],
+                "dof_vel": row[2],
+                "base_vel_x": row[3],
+                "base_vel_y": row[4],
+                "base_vel_z": row[5],
+                "base_vel_yaw": row[6],
+                "command_x": row[7],
+                "command_y": row[8],
+                "command_yaw": row[9],
+                "base_height": row[10],
             }
         )
+    if recorder is not None:
+        for bp, bq, qj in jax.device_get(frames_pending):
+            recorder.add_state(np.asarray(bp), np.asarray(bq),
+                               np.asarray(qj))
 
     np.savez(
         os.path.join(args.out_dir, "openloop_action.npz"),
-        action=np.array(actions_log),
+        action=np.asarray(jax.device_get(jnp.stack(actions_log)))
+        if actions_log else np.zeros((0, env.nj)),
     )
     if recorder is not None:
         print(f"video: {recorder.close()} ({recorder.frames} frames)")
