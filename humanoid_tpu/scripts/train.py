@@ -36,6 +36,11 @@ def get_args(argv=None):
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() first so "
                         "jax.devices() spans all hosts (use with --mesh)")
+    p.add_argument("--wandb", action="store_true",
+                   help="mirror metrics to wandb (offline mode, syncing "
+                        "tensorboard like the reference, "
+                        "on_policy_runner.py:96-102); no-op if wandb is "
+                        "not installed")
     return p.parse_args(argv)
 
 
@@ -67,7 +72,8 @@ def train(args) -> None:
         runner.load(path)
 
     logger = TrainLogger(
-        runner.log_dir, env.reward_names, env_cfg, train_cfg
+        runner.log_dir, env.reward_names, env_cfg, train_cfg,
+        use_wandb=getattr(args, "wandb", False),
     )
     total = args.max_iterations or train_cfg.runner.max_iterations
 

@@ -17,7 +17,8 @@ from typing import Optional
 
 class TrainLogger:
     def __init__(self, log_dir: Optional[str], reward_names, env_cfg,
-                 train_cfg, use_tensorboard: bool = True):
+                 train_cfg, use_tensorboard: bool = True,
+                 use_wandb: bool = False):
         self.log_dir = log_dir
         self.reward_names = reward_names
         self.episode_length_s = env_cfg.env.episode_length_s
@@ -27,6 +28,7 @@ class TrainLogger:
         self.t_start = time.time()
         self.writer = None
         self.jsonl = None
+        self.wandb = None
         if log_dir:
             os.makedirs(log_dir, exist_ok=True)
             self.jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
@@ -37,6 +39,22 @@ class TrainLogger:
                     self.writer = SummaryWriter(log_dir=log_dir, flush_secs=10)
                 except Exception:
                     self.writer = None
+            if use_wandb:
+                # reference pattern: offline wandb syncing the tensorboard
+                # event stream (on_policy_runner.py:96-102); no-op if the
+                # package is absent (it is an optional extra, setup.py:40)
+                try:
+                    import wandb
+
+                    os.environ.setdefault("WANDB_MODE", "offline")
+                    self.wandb = wandb.init(
+                        project=train_cfg.runner.experiment_name,
+                        name=os.path.basename(log_dir),
+                        dir=log_dir,
+                        sync_tensorboard=True,
+                    )
+                except Exception:
+                    self.wandb = None
 
     def log(self, it: int, metrics, fps: float, iter_time: float) -> dict:
         m = metrics
@@ -101,5 +119,7 @@ class TrainLogger:
     def close(self):
         if self.writer is not None:
             self.writer.close()
+        if self.wandb is not None:
+            self.wandb.finish()
         if self.jsonl is not None:
             self.jsonl.close()
