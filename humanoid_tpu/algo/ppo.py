@@ -82,15 +82,27 @@ def ppo_update(
     tx = make_optimizer(cfg)
     B = batch.obs.shape[0]
     mb_size = B // cfg.num_mini_batches
-    # materialized uniform shuffle (reference rollout_storage.py:157).
-    # Measured on v5e: XLA's row gather beats roll+stride or two-axis
-    # product shuffles at this row width — don't "optimize" this.
-    perm = jax.random.permutation(key, B)
+    # materialized uniform shuffle (reference rollout_storage.py:157),
+    # permuted in tiles of `shuffle_granule` consecutive rows: a per-row
+    # gather of the (T*N, obs) batch is random-access HBM and was the
+    # hottest op of the whole iteration (~21 ms); tile gathers move
+    # contiguous chunks at streaming bandwidth (see AlgorithmCfg).
+    g = cfg.shuffle_granule
+    if g <= 1 or B % g or mb_size % g:
+        perm = jax.random.permutation(key, B)
 
-    def take(x):
-        return x[perm][: mb_size * cfg.num_mini_batches].reshape(
-            (cfg.num_mini_batches, mb_size) + x.shape[1:]
-        )
+        def take(x):
+            return x[perm][: mb_size * cfg.num_mini_batches].reshape(
+                (cfg.num_mini_batches, mb_size) + x.shape[1:]
+            )
+    else:
+        perm = jax.random.permutation(key, B // g)
+
+        def take(x):
+            tiles = x.reshape((B // g, g) + x.shape[1:])[perm]
+            return tiles.reshape(
+                (cfg.num_mini_batches, mb_size) + x.shape[1:]
+            )
 
     mbs = jax.tree.map(take, batch)
     vlo, vhi = vel_target_slice

@@ -82,7 +82,7 @@ def run_one(n: int, envs_per_device: int, steps: int, warmup: int,
     )
     out = subprocess.run(
         [sys.executable, "-c", code], env=env, capture_output=True,
-        text=True, timeout=3600,
+        text=True, timeout=7200,
     )
     if out.returncode != 0:
         raise RuntimeError(f"n={n} failed:\n{out.stderr[-2000:]}")
