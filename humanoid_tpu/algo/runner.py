@@ -188,12 +188,18 @@ class OnPolicyRunner:
                 (transition, stats),
             )
 
+        # unroll: the rollout body is light (one Pallas control step + a
+        # small policy matmul + elementwise obs/reward), so per-trip scan
+        # overhead is a measurable slice (~4 ms/iter of `while` self-time);
+        # unrolling amortizes it and lets XLA fuse across steps
+        unroll = max(u for u in (1, 2, 3, 4, 5, 6) if T % u == 0)
         (ts, env_state, obs, critic_obs, key), (traj, stats) = jax.lax.scan(
             rollout_step,
             (carry.train_state, carry.env_state, carry.obs, carry.critic_obs,
              carry.key),
             None,
             length=T,
+            unroll=unroll,
         )
         rewards = traj.advantages          # (T, N) bootstrapped rewards
         dones = traj.returns               # (T, N)
