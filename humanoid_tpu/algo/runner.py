@@ -82,6 +82,9 @@ class OnPolicyRunner:
         else:
             self.obs_perm = self.act_perm = None
         self.iteration = 0
+        # optional checkpoint hook: callable(runner, ckpt_path, iteration),
+        # e.g. deploy.eval_gate.CheckpointEvalGate (async sim2sim per save)
+        self.on_checkpoint = None
         self._train_iter = jax.jit(self._train_iteration)
         # superstep: K iterations per dispatch (lax.scan). Device time per
         # iteration is ~64 ms but each host->device dispatch costs tens of
@@ -266,6 +269,7 @@ class OnPolicyRunner:
         save_every = self.cfg.runner.save_interval
         K = max(1, min(self.cfg.runner.iters_per_dispatch, num_iterations))
         pending = None
+        saved_at = None
 
         def flush(pending):
             # double-buffered metrics: the device computes the next chunk
@@ -296,10 +300,11 @@ class OnPolicyRunner:
             if self.log_dir and save_every and self.iteration % save_every == 0:
                 jax.block_until_ready(carry.train_state.params)
                 self.save()
+                saved_at = self.iteration
         if pending is not None and log_fn is not None:
             flush(pending)
         jax.block_until_ready(carry.train_state.params)
-        if self.log_dir:
+        if self.log_dir and saved_at != self.iteration:
             self.save()
         return carry
 
@@ -321,6 +326,8 @@ class OnPolicyRunner:
 
         path = path or os.path.join(self.log_dir, f"model_{self.iteration}")
         save_checkpoint(path, self._ckpt_payload())
+        if self.on_checkpoint is not None:
+            self.on_checkpoint(self, path, self.iteration)
         return path
 
     def load(self, path: str, load_optimizer: bool = True) -> None:

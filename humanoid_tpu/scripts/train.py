@@ -36,6 +36,11 @@ def get_args(argv=None):
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() first so "
                         "jax.devices() spans all hosts (use with --mesh)")
+    p.add_argument("--eval-gate", dest="eval_gate", nargs="?", const=10.0,
+                   type=float, default=None, metavar="SECONDS",
+                   help="run the MuJoCo sim2sim gate on every checkpoint "
+                        "in an async CPU subprocess (BASELINE config 4); "
+                        "optional arg = gate duration in sim seconds")
     p.add_argument("--wandb", action="store_true",
                    help="mirror metrics to wandb (offline mode, syncing "
                         "tensorboard like the reference, "
@@ -75,6 +80,12 @@ def train(args) -> None:
         runner.log_dir, env.reward_names, env_cfg, train_cfg,
         use_wandb=getattr(args, "wandb", False),
     )
+    gate = None
+    if getattr(args, "eval_gate", None) and runner.log_dir:
+        from ..deploy.eval_gate import CheckpointEvalGate
+
+        gate = CheckpointEvalGate(runner.log_dir, duration=args.eval_gate)
+        runner.on_checkpoint = gate
     total = args.max_iterations or train_cfg.runner.max_iterations
 
     def log_fn(it, metrics, fps, dt):
@@ -109,6 +120,11 @@ def train(args) -> None:
             runner.learn(total, init_at_random_ep_len=True, log_fn=log_fn,
                          carry=carry)
     finally:
+        if gate is not None:
+            gate.wait_all()
+            n_pass = sum(1 for r in gate.results if r.get("passed"))
+            print(f"[eval-gate] {n_pass}/{len(gate.results)} checkpoints "
+                  f"passed ({runner.log_dir}/eval_gate.jsonl)")
         logger.close()
 
 

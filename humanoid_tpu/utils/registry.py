@@ -168,6 +168,14 @@ def _register_builtin():
         ),
         XBotLCfgPPO(),
     )
+    # BASELINE.json config 4: 8192 envs + observation noise; pair with
+    # `--eval-gate` to run the MuJoCo sim2sim check on every checkpoint
+    register(
+        "humanoid_ppo_8k",
+        XBotLEnv,
+        XBotLCfg(env=EnvCfg(num_envs=8192)),
+        XBotLCfgPPO(),
+    )
 
 
 _register_builtin()
