@@ -203,19 +203,17 @@ class XBotLEnv:
             np.ceil(dr.dof_rand_interval_s / self.dt)
         )
         self.sw_switch = cfg.commands.sw_switch
-        # fused Pallas control-step kernel: TPU + plane terrain + no per-env
-        # inertia/gain overrides (ops/physics_kernel.py). The whole
-        # decimation loop runs in ONE kernel; freeze_mass_matrix reuses a
-        # once-per-control-step Cholesky factor across its substeps.
+        # fused Pallas control-step kernel (ops/physics_kernel.py): the
+        # whole decimation loop runs in ONE kernel; freeze_mass_matrix
+        # reuses a once-per-control-step Cholesky factor across its
+        # substeps. Per-env gain/body randomization enter as extra kernel
+        # inputs; heightfield terrain enters as a per-contact-point local
+        # tangent plane sampled once per control step (the only
+        # approximation vs the XLA path's per-substep bilinear sample —
+        # points move <~2 cm within the 10 ms control period).
         self._substep_fn = None
         self._control_fn = None
-        if (
-            cfg.sim.use_pallas_substep
-            and self.terrain.flat
-            and not self.body_rand_on
-            and not self.dof_rand_on
-            and cfg.env.num_envs % 128 == 0
-        ):
+        if cfg.sim.use_pallas_substep and cfg.env.num_envs % 128 == 0:
             import jax as _jax
 
             if _jax.default_backend() == "tpu":
@@ -226,6 +224,9 @@ class XBotLEnv:
                     self.contact_params, cfg.sim.dt, cfg.env.num_envs,
                     cfg.control.decimation,
                     freeze=cfg.sim.freeze_mass_matrix,
+                    per_env_gains=self.dof_rand_on,
+                    per_env_body=self.body_rand_on,
+                    terrain_planes=not self.terrain.flat,
                 )
         self.smooth_idx = (
             self.reward_names.index("action_smoothness")
@@ -420,6 +421,40 @@ class XBotLEnv:
             ).reshape(n, nb, 3, 3)
             inertia = inertia * fac
         return masses, com, inertia
+
+    def _contact_planes(self, phys: PhysState) -> jnp.ndarray:
+        """(N, 3*P) per-contact-point local terrain planes [c0, gx, gy] for
+        the fused Pallas kernel's heightfield path: the tangent plane of the
+        bilinear heightfield at each point's control-step entry position
+        (one batched gather per control step, vs. one per substep on the
+        XLA path). Point order matches make_model_consts' contact_pts:
+        foot sole corners, then termination proxy spheres."""
+        from ..physics.kinematics import fk
+
+        m = self.model
+        body_pos, body_quat = jax.vmap(
+            lambda bp, bq, q: fk(m, bp, bq, q)
+        )(phys.base_pos, phys.base_quat, phys.qj)
+        pt_body, pt_off = m.contact_points()
+        xs = []
+        for b, off in zip(pt_body, pt_off):
+            b = int(b)
+            p = body_pos[:, b] + quat_rotate(
+                body_quat[:, b], jnp.asarray(off, dtype=jnp.float32)
+            )
+            xs.append(p[:, 0:2])
+        for i in range(len(m.term_sphere_body)):
+            b = int(m.term_sphere_body[i])
+            c = body_pos[:, b] + quat_rotate(
+                body_quat[:, b],
+                jnp.asarray(m.term_sphere_offset[i], dtype=jnp.float32),
+            )
+            xs.append(c[:, 0:2])
+        xy = jnp.stack(xs, axis=1)                       # (N, P, 2)
+        h, gx, gy = self.terrain.sample_with_grad(xy)
+        c0 = h - gx * xy[..., 0] - gy * xy[..., 1]
+        planes = jnp.stack([c0, gx, gy], axis=-1)        # (N, P, 3)
+        return planes.reshape(xy.shape[0], -1)
 
     def _reset_phys(self, key, n, env_origins=None):
         """Fresh PhysState batch for n envs (humanoid_env.py:1036-1052)."""
@@ -624,9 +659,28 @@ class XBotLEnv:
                 return jnp.clip(tau, -self.torque_limits, self.torque_limits)
 
         if self._control_fn is not None:
+            # optional per-env kernel inputs, in _extra_rows order
+            extras = []
+            ktargets = targets
+            if self.dof_rand_on:
+                # motor offsets fold into the PD setpoint:
+                # kp*(tgt - q + off) == kp*((tgt + off) - q)
+                ktargets = targets + state.motor_offsets
+                extras.append(jnp.concatenate(
+                    [kp_eff, kd_eff, state.motor_strengths], axis=1
+                ))
+            if self.body_rand_on:
+                extras.append(state.body_com.reshape(N, -1))
+                extras.append(
+                    state.body_inertia.reshape(N, -1, 9)[
+                        :, :, (0, 1, 2, 4, 5, 8)
+                    ].reshape(N, -1)
+                )
+            if not self.terrain.flat:
+                extras.append(self._contact_planes(state.phys))
             phys, diag = control_step_pallas_fused(
                 self._control_fn, state.phys, state.masses, state.friction,
-                targets, self.nj,
+                ktargets, self.nj, tuple(extras),
             )
         else:
             phys, diag = control_step_batch(

@@ -96,11 +96,22 @@ def _qmat(q):
 # ---------------------------------------------------------------------------
 
 
-def _pd_torque(qj, u, targets, mk):
-    """PD torque with clamping (humanoid_env.py:910-925 semantics)."""
+def _pd_torque(qj, u, targets, mk, gains=None):
+    """PD torque with clamping (humanoid_env.py:910-925 semantics).
+
+    gains, when given, is (kp_eff, kd_eff, strength) lists of per-env lane
+    vectors — the randomized motor model of legged_robot.py:369-387 (motor
+    offsets are folded into `targets` by the env layer). The clip applies
+    AFTER the strength factor, matching env.torque_fn."""
     tau = []
     for k in range(mk["nj"]):
-        t = mk["kp"][k] * (targets[k] - qj[k]) - mk["kd"][k] * u[6 + k]
+        if gains is None:
+            t = mk["kp"][k] * (targets[k] - qj[k]) - mk["kd"][k] * u[6 + k]
+        else:
+            kp_eff, kd_eff, strength = gains
+            t = (
+                kp_eff[k] * (targets[k] - qj[k]) - kd_eff[k] * u[6 + k]
+            ) * strength[k]
         lim = mk["tau_lim"][k]
         tau.append(jnp.clip(t, -lim, lim))
     return tau
@@ -146,20 +157,33 @@ def _screws(pos, quat, mk, one):
     return S, w_ax, anchors
 
 
-def _spatial_inertias(pos, quat, masses, mk, one):
+def _spatial_inertias(pos, quat, masses, mk, one, com=None, inertia=None):
     """Per-body 6x6 spatial inertias about the base point A.
-    I_sp = [[I_w + m r~ r~^T, m r~], [m r~^T, m 1]] with r = com_w - A."""
+    I_sp = [[I_w + m r~ r~^T, m r~], [m r~^T, m 1]] with r = com_w - A.
+
+    com/inertia, when given, are per-env lane-vector overrides (body-frame
+    COM [nb][3] and symmetric inertia [nb][xx,xy,xz,yy,yz,zz]) for the
+    extended body domain randomization (legged_robot.py:313-367); otherwise
+    the model constants are baked in."""
     A = pos[0]
     nb = mk["nj"] + 1
     I_sp = []
     for b in range(nb):
         R = _qmat(quat[b])
-        cb = mk["com"][b]
+        cb = mk["com"][b] if com is None else com[b]
         com_w = [
             pos[b][i] + R[i][0] * cb[0] + R[i][1] * cb[1] + R[i][2] * cb[2]
             for i in range(3)
         ]
-        Ib = mk["inertia"][b]  # 3x3 python floats
+        if inertia is None:
+            Ib = mk["inertia"][b]  # 3x3 python floats
+        else:
+            i6 = inertia[b]        # lane vectors xx,xy,xz,yy,yz,zz
+            Ib = [
+                [i6[0], i6[1], i6[2]],
+                [i6[1], i6[3], i6[4]],
+                [i6[2], i6[4], i6[5]],
+            ]
         RI = [[sum(R[i][k] * Ib[k][j] for k in range(3)) for j in range(3)]
               for i in range(3)]
         I_w = [[sum(RI[i][k] * R[j][k] for k in range(3)) for j in range(3)]
@@ -315,16 +339,22 @@ def _chol_solve(L, invd, rhs, nv):
     return udot
 
 
-def _contact(pos, quat, v_sp, anchors, w_ax, mu, mk, one):
+def _contact(pos, quat, v_sp, anchors, w_ax, mu, mk, one, planes=None):
     """Compliant plane contact at baked offsets: foot sole corners +
-    termination proxy spheres. Returns generalized forces + diagnostics."""
+    termination proxy spheres. Returns generalized forces + diagnostics.
+
+    planes, when given, is a per-contact-point local terrain plane
+    [c0, gx, gy] (lane vectors): ground height at xy is c0 + gx*x + gy*y,
+    the tangent plane of the bilinear heightfield at the control step's
+    entry position (sampled by the env layer once per control step — the
+    in-kernel heightfield path; None = flat plane z=0)."""
     A = pos[0]
     nv = mk["nj"] + 6
     kn, cn, vreg = mk["kn"], mk["cn"], mk["v_reg"]
     tau_gen = [0.0 * one for _ in range(nv)]
     foot_f = [[0.0 * one] * 3 for _ in range(len(mk["foot_bodies"]))]
     term_f = []
-    for (b, off, foot_i, rad) in mk["contact_pts"]:
+    for pt_i, (b, off, foot_i, rad) in enumerate(mk["contact_pts"]):
         o = _qrot(quat[b], [off[0] * one, off[1] * one, off[2] * one])
         p = [pos[b][i] + o[i] for i in range(3)]
         if rad is not None:
@@ -333,7 +363,11 @@ def _contact(pos, quat, v_sp, anchors, w_ax, mu, mk, one):
         vlin = [
             v_sp[b][3 + i] + _cross(v_sp[b][0:3], rel)[i] for i in range(3)
         ]
-        phi = p[2]
+        if planes is None:
+            phi = p[2]
+        else:
+            c0, gx, gy = planes[pt_i]
+            phi = p[2] - (c0 + gx * p[0] + gy * p[1])
         pen = (phi < 0.0).astype(phi.dtype)
         fn = jnp.maximum(0.0, -kn * phi - cn * vlin[2]) * pen
         speed = jnp.sqrt(vlin[0] * vlin[0] + vlin[1] * vlin[1] + vreg * vreg)
@@ -387,22 +421,26 @@ def _integrate(base_pos, base_quat, qj, u, udot_sp, mk, one):
 
 
 def _substep_core(base_pos, base_quat, qj, u, masses, mu, targets, mk, one,
-                  frozen_chol=None):
+                  frozen_chol=None, gains=None, com=None, inertia=None,
+                  planes=None):
     """One full substep from unpacked lane vectors. frozen_chol, if given,
     is a precomputed (L, invd) reused instead of factoring this substep's
-    mass matrix. Returns (new state rows, diag pieces)."""
+    mass matrix. gains/com/inertia/planes are the optional per-env
+    domain-randomization / terrain inputs (see _pd_torque,
+    _spatial_inertias, _contact). Returns (new state rows, diag pieces)."""
     nv = mk["nj"] + 6
-    tau = _pd_torque(qj, u, targets, mk)
+    tau = _pd_torque(qj, u, targets, mk, gains=gains)
     pos, quat = _fk(base_pos, base_quat, qj, mk, one)
     S, w_ax, anchors = _screws(pos, quat, mk, one)
-    I_sp = _spatial_inertias(pos, quat, masses, mk, one)
+    I_sp = _spatial_inertias(pos, quat, masses, mk, one, com=com,
+                             inertia=inertia)
     v_sp, C = _vel_bias(u, S, I_sp, mk, one)
     if frozen_chol is None:
         L, invd = _crba_chol(S, I_sp, mk, one)
     else:
         L, invd = frozen_chol
     tau_gen, foot_f, term_f = _contact(
-        pos, quat, v_sp, anchors, w_ax, mu, mk, one
+        pos, quat, v_sp, anchors, w_ax, mu, mk, one, planes=planes
     )
     for k in range(mk["nj"]):
         tau_gen[6 + k] = tau_gen[6 + k] + tau[k]
@@ -448,13 +486,57 @@ def _write_diag(diag_ref, diag, mk):
 # ---------------------------------------------------------------------------
 
 
+def _unpack_extras(extra_refs, mk, feats):
+    """Unpack the optional per-env input refs (see _extra_rows for the
+    row layout) into the lane-vector structures _substep_core expects."""
+    nj = mk["nj"]
+    nb = nj + 1
+    n_pts = len(mk["contact_pts"])
+    it = iter(extra_refs)
+    gains = com = inertia = planes = None
+    if feats["gains"]:
+        g = next(it)   # rows: kp_eff(nj) | kd_eff(nj) | strength(nj)
+        gains = (
+            [g[k] for k in range(nj)],
+            [g[nj + k] for k in range(nj)],
+            [g[2 * nj + k] for k in range(nj)],
+        )
+    if feats["body"]:
+        c = next(it)   # rows: com xyz per body
+        com = [[c[b * 3 + i] for i in range(3)] for b in range(nb)]
+        iref = next(it)  # rows: xx,xy,xz,yy,yz,zz per body
+        inertia = [[iref[b * 6 + i] for i in range(6)] for b in range(nb)]
+    if feats["planes"]:
+        p = next(it)   # rows: c0,gx,gy per contact point
+        planes = [[p[i * 3 + j] for j in range(3)] for i in range(n_pts)]
+    return gains, com, inertia, planes
+
+
+def _extra_rows(mk, feats):
+    """Row counts of the optional inputs, in ref order."""
+    nj = mk["nj"]
+    nb = nj + 1
+    n_pts = len(mk["contact_pts"])
+    rows = []
+    if feats["gains"]:
+        rows.append(3 * nj)
+    if feats["body"]:
+        rows.append(3 * nb)
+        rows.append(6 * nb)
+    if feats["planes"]:
+        rows.append(3 * n_pts)
+    return rows
+
+
 def _substep_kernel(
-    state_ref, mass_ref, fric_ref, tgt_ref, out_ref, diag_ref, *, mk
+    state_ref, mass_ref, fric_ref, tgt_ref, *rest, mk, feats
 ):
     """One exact substep (mk: dict of static model/config constants)."""
     nj = mk["nj"]
     nb = nj + 1
     nv = nj + 6
+    extra_refs = rest[:-2]
+    out_ref, diag_ref = rest[-2], rest[-1]
 
     # rows: [pos(3), quat(4), qj(nj), u(nv)]
     base_pos = [state_ref[i] for i in range(3)]
@@ -465,9 +547,11 @@ def _substep_kernel(
     mu = fric_ref[0]
     targets = [tgt_ref[k] for k in range(nj)]
     one = jnp.ones_like(mu)
+    gains, com, inertia, planes = _unpack_extras(extra_refs, mk, feats)
 
     new_pos, new_quat, new_qj, u_new, diag = _substep_core(
-        base_pos, base_quat, qj, u, masses, mu, targets, mk, one
+        base_pos, base_quat, qj, u, masses, mu, targets, mk, one,
+        gains=gains, com=com, inertia=inertia, planes=planes,
     )
 
     row = 0
@@ -478,8 +562,8 @@ def _substep_kernel(
 
 
 def _control_kernel(
-    state_ref, mass_ref, fric_ref, tgt_ref, out_ref, diag_ref, *,
-    mk, decimation, freeze
+    state_ref, mass_ref, fric_ref, tgt_ref, *rest, mk, decimation, freeze,
+    feats
 ):
     """A whole decimated control step in one kernel: the substep loop runs
     on-chip (lax.fori_loop over a lane-vector pytree carry), so state never
@@ -491,6 +575,8 @@ def _control_kernel(
     nj = mk["nj"]
     nb = nj + 1
     nv = nj + 6
+    extra_refs = rest[:-2]
+    out_ref, diag_ref = rest[-2], rest[-1]
 
     base_pos = [state_ref[i] for i in range(3)]
     base_quat = [state_ref[3 + i] for i in range(4)]
@@ -500,12 +586,14 @@ def _control_kernel(
     mu = fric_ref[0]
     targets = [tgt_ref[k] for k in range(nj)]
     one = jnp.ones_like(mu)
+    gains, com, inertia, planes = _unpack_extras(extra_refs, mk, feats)
 
     loop_chol = None
     if freeze:
         pos0, quat0 = _fk(base_pos, base_quat, qj, mk, one)
         S0, _, _ = _screws(pos0, quat0, mk, one)
-        I0 = _spatial_inertias(pos0, quat0, masses, mk, one)
+        I0 = _spatial_inertias(pos0, quat0, masses, mk, one, com=com,
+                               inertia=inertia)
         # the factor is closed over by the loop body: loop-invariant lane
         # vectors (None entries are compile-time structural zeros)
         loop_chol = _crba_chol(S0, I0, mk, one)
@@ -514,7 +602,8 @@ def _control_kernel(
         bp, bq, q, uu = carry
         np_, nq, nqj, nu, diag = _substep_core(
             list(bp), list(bq), list(q), list(uu), masses, mu, targets, mk,
-            one, frozen_chol=loop_chol,
+            one, frozen_chol=loop_chol, gains=gains, com=com,
+            inertia=inertia, planes=planes,
         )
         _write_diag(diag_ref, diag, mk)
         return (tuple(np_), tuple(nq), tuple(nqj), tuple(nu))
@@ -616,14 +705,12 @@ def make_model_consts(model, kp, kd, tau_lim, contact_params, dt):
 
 
 def pallas_substep_supported(model, params, terrain, N, dof_rand_on):
-    """Static eligibility for the fused kernel (see module docstring)."""
+    """Static eligibility for the fused kernel. Per-env gains, body
+    randomization, and heightfield terrain are supported via the optional
+    kernel inputs (per_env_gains/per_env_body/terrain_planes), so the only
+    remaining requirements are the TPU backend and a tileable env count."""
+    del params, terrain, dof_rand_on
     if jax.default_backend() != "tpu":
-        return False
-    if not terrain.flat:
-        return False
-    if params.com is not None or params.inertia is not None:
-        return False
-    if dof_rand_on:
         return False
     return _pick_block(N) is not None
 
@@ -675,42 +762,47 @@ def _unpack_diag(diag, mk, N):
     )
 
 
-def _build_kernel_fn(kernel, mk, N, n_state, nb, nj, n_diag, sub, lb):
+def _build_kernel_fn(kernel, mk, N, n_state, nb, nj, n_diag, sub, lb,
+                     feats):
     """Shared pallas_call wrapper: inputs are (rows, N) row-major; on
     device they are viewed as (rows, SUB, N//SUB) so each kernel block is
-    a (rows, SUB, LB) tile of full vector registers."""
+    a (rows, SUB, LB) tile of full vector registers. Optional per-env
+    extras (gains/body/planes, env layout (N, rows)) follow the 4 core
+    inputs in _extra_rows order."""
     from jax.experimental import pallas as pl
 
     lanes = N // sub
     grid = (lanes // lb,)
+    extra_rows = _extra_rows(mk, feats)
 
     @jax.jit
-    def call(state_pack, masses, friction, targets):
+    def call(state_pack, masses, friction, targets, *extras):
         # env-layer layouts: masses (N, nb), friction (N,), targets (N, nj)
+        assert len(extras) == len(extra_rows)
         masses = masses.T.reshape(nb, sub, lanes)
         friction = friction.reshape(1, sub, lanes)
         targets = targets.T.reshape(nj, sub, lanes)
         state3 = state_pack.reshape(n_state, sub, lanes)
+        extras3 = [
+            e.T.reshape(r, sub, lanes) for e, r in zip(extras, extra_rows)
+        ]
+
+        def spec(rows):
+            return pl.BlockSpec((rows, sub, lb), lambda g: (0, 0, g))
+
         out, diag = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((n_state, sub, lb), lambda g: (0, 0, g)),
-                pl.BlockSpec((nb, sub, lb), lambda g: (0, 0, g)),
-                pl.BlockSpec((1, sub, lb), lambda g: (0, 0, g)),
-                pl.BlockSpec((nj, sub, lb), lambda g: (0, 0, g)),
-            ],
-            out_specs=[
-                pl.BlockSpec((n_state, sub, lb), lambda g: (0, 0, g)),
-                pl.BlockSpec((n_diag, sub, lb), lambda g: (0, 0, g)),
-            ],
+            in_specs=[spec(n_state), spec(nb), spec(1), spec(nj)]
+            + [spec(r) for r in extra_rows],
+            out_specs=[spec(n_state), spec(n_diag)],
             out_shape=[
                 jax.ShapeDtypeStruct((n_state, sub, lanes),
                                      state_pack.dtype),
                 jax.ShapeDtypeStruct((n_diag, sub, lanes),
                                      state_pack.dtype),
             ],
-        )(state3, masses, friction, targets)
+        )(state3, masses, friction, targets, *extras3)
         return (
             out.reshape(n_state, N),
             _unpack_diag(diag.reshape(-1, N), mk, N),
@@ -719,28 +811,50 @@ def _build_kernel_fn(kernel, mk, N, n_state, nb, nj, n_diag, sub, lb):
     return call
 
 
-def build_substep_fn(model, kp, kd, tau_lim, contact_params, dt, N):
-    """Returns substep(state_pack, masses, friction, targets) ->
+def _feats(per_env_gains, per_env_body, terrain_planes):
+    return dict(
+        gains=bool(per_env_gains), body=bool(per_env_body),
+        planes=bool(terrain_planes),
+    )
+
+
+def build_substep_fn(model, kp, kd, tau_lim, contact_params, dt, N,
+                     per_env_gains=False, per_env_body=False,
+                     terrain_planes=False):
+    """Returns substep(state_pack, masses, friction, targets, *extras) ->
     (state_pack, KernelDiag). state_pack: (7+nj+nv, N)."""
     mk = make_model_consts(model, kp, kd, tau_lim, contact_params, dt)
     nj, nb, nv, n_state, nt, n_feet, n_diag, sub, lb = _shapes(model, mk, N)
-    kernel = functools.partial(_substep_kernel, mk=mk)
-    return _build_kernel_fn(kernel, mk, N, n_state, nb, nj, n_diag, sub, lb)
+    feats = _feats(per_env_gains, per_env_body, terrain_planes)
+    kernel = functools.partial(_substep_kernel, mk=mk, feats=feats)
+    return _build_kernel_fn(
+        kernel, mk, N, n_state, nb, nj, n_diag, sub, lb, feats
+    )
 
 
 def build_control_fn(model, kp, kd, tau_lim, contact_params, dt, N,
-                     decimation, freeze=True):
-    """Returns control(state_pack, masses, friction, targets) ->
+                     decimation, freeze=True, per_env_gains=False,
+                     per_env_body=False, terrain_planes=False):
+    """Returns control(state_pack, masses, friction, targets, *extras) ->
     (state_pack, KernelDiag): the full decimated control step as ONE
     Pallas kernel (substep loop on-chip; freeze -> once-per-control-step
-    mass-matrix factorization)."""
+    mass-matrix factorization).
+
+    Extras (each (N, rows), built by the env layer, see _extra_rows):
+      per_env_gains  -> [kp_eff | kd_eff | strength]  (N, 3*nj)
+      per_env_body   -> com (N, 3*nb), symmetric inertia (N, 6*nb)
+      terrain_planes -> per-contact-point local plane [c0,gx,gy] (N, 3*P)
+    """
     mk = make_model_consts(model, kp, kd, tau_lim, contact_params, dt)
     nj, nb, nv, n_state, nt, n_feet, n_diag, sub, lb = _shapes(model, mk, N)
+    feats = _feats(per_env_gains, per_env_body, terrain_planes)
     kernel = functools.partial(
         _control_kernel, mk=mk, decimation=int(decimation),
-        freeze=bool(freeze),
+        freeze=bool(freeze), feats=feats,
     )
-    return _build_kernel_fn(kernel, mk, N, n_state, nb, nj, n_diag, sub, lb)
+    return _build_kernel_fn(
+        kernel, mk, N, n_state, nb, nj, n_diag, sub, lb, feats
+    )
 
 
 def out_slice(diag, row, n, N):

@@ -86,6 +86,40 @@ class Terrain:
             + h11 * tx * ty
         )
 
+    def sample_with_grad(self, xy):
+        """(height, dh/dx, dh/dy) of the bilinear surface at world xy.
+
+        The gradient is exact for the bilinear interpolant within the cell —
+        together with the height it defines the local tangent plane the
+        fused Pallas kernel uses for contact during one control step
+        (ops/physics_kernel.py terrain_planes)."""
+        if self.flat:
+            z = jnp.zeros(xy.shape[:-1], dtype=xy.dtype)
+            return z, z, z
+        hs = self.horizontal_scale
+        fx = (xy[..., 0] + self.border) / hs
+        fy = (xy[..., 1] + self.border) / hs
+        H, W = self.height.shape
+        fx = jnp.clip(fx, 0.0, H - 1.001)
+        fy = jnp.clip(fy, 0.0, W - 1.001)
+        x0 = jnp.floor(fx).astype(jnp.int32)
+        y0 = jnp.floor(fy).astype(jnp.int32)
+        tx = fx - x0
+        ty = fy - y0
+        h00 = self.height[x0, y0]
+        h10 = self.height[x0 + 1, y0]
+        h01 = self.height[x0, y0 + 1]
+        h11 = self.height[x0 + 1, y0 + 1]
+        h = (
+            h00 * (1 - tx) * (1 - ty)
+            + h10 * tx * (1 - ty)
+            + h01 * (1 - tx) * ty
+            + h11 * tx * ty
+        )
+        gx = ((h10 - h00) * (1 - ty) + (h11 - h01) * ty) / hs
+        gy = ((h01 - h00) * (1 - tx) + (h11 - h10) * tx) / hs
+        return h, gx, gy
+
     def sample_min3(self, xy):
         """min of 3 neighboring cells — the reference's conservative height
         probe (humanoid_env.py:973-979)."""

@@ -322,14 +322,18 @@ def control_step_pallas_fused(
     friction: jnp.ndarray,
     targets: jnp.ndarray,
     nj: int,
+    extras: Tuple[jnp.ndarray, ...] = (),
 ) -> Tuple[PhysState, PhysDiag]:
     """Decimated control step as ONE fused Pallas kernel
     (ops/physics_kernel.py build_control_fn): the substep loop runs
     on-chip and the diag is the last substep's, matching the reference's
-    refresh-after-simulate semantics (humanoid_env.py:649-651)."""
+    refresh-after-simulate semantics (humanoid_env.py:649-651). extras are
+    the optional per-env (N, rows) inputs the kernel was built with
+    (gains / com+inertia / terrain planes)."""
     from ..ops.physics_kernel import pack_state, unpack_state
 
-    pack, diag = control_fn(pack_state(state), masses, friction, targets)
+    pack, diag = control_fn(pack_state(state), masses, friction, targets,
+                            *extras)
     return unpack_state(pack, nj), PhysDiag(
         body_pos=diag.body_pos,
         body_quat=diag.body_quat,

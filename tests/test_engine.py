@@ -152,3 +152,30 @@ def test_terrain_sampling():
     assert abs(float(t.sample(jnp.array([1.5, 2.0]))) - 0.8) < 1e-6
     # min3 is conservative
     assert float(t.sample_min3(jnp.array([1.5, 2.0]))) <= 0.6 + 1e-6
+
+
+def test_terrain_sample_with_grad():
+    """sample_with_grad returns the bilinear height and its exact gradient
+    (the local tangent plane the fused kernel's heightfield path uses)."""
+    key = jax.random.PRNGKey(7)
+    t = Terrain(
+        height=jax.random.uniform(key, (8, 8)),
+        horizontal_scale=0.5,
+        border=1.0,
+    )
+    # points strictly inside cells (the bilinear gradient is discontinuous
+    # across cell boundaries, so FD checks must not straddle them)
+    xy = jnp.array([[0.3, 0.7], [1.1, -0.2], [0.1, 0.05]])
+    h, gx, gy = t.sample_with_grad(xy)
+    assert np.allclose(np.asarray(h), np.asarray(t.sample(xy)), atol=1e-6)
+    eps = 1e-4
+    dx = jnp.array([eps, 0.0])
+    dy = jnp.array([0.0, eps])
+    gx_fd = (t.sample(xy + dx) - t.sample(xy - dx)) / (2 * eps)
+    gy_fd = (t.sample(xy + dy) - t.sample(xy - dy)) / (2 * eps)
+    assert np.allclose(np.asarray(gx), np.asarray(gx_fd), atol=1e-3)
+    assert np.allclose(np.asarray(gy), np.asarray(gy_fd), atol=1e-3)
+    # flat terrain: all zeros
+    tf = Terrain.plane()
+    h0, gx0, gy0 = tf.sample_with_grad(xy)
+    assert not np.any(np.asarray(h0)) and not np.any(np.asarray(gx0))

@@ -144,3 +144,66 @@ def test_fused_control_kernel_frozen_close_to_exact():
     assert float(jnp.max(jnp.abs(p1.qj - p2.qj))) < 1e-3
     assert float(jnp.max(jnp.abs(p1.base_pos - p2.base_pos))) < 1e-3
     assert float(jnp.max(jnp.abs(p1.u - p2.u))) < 0.1
+
+
+def _env_pair(task, n=128):
+    """Same task built with and without the fused kernel."""
+    import dataclasses
+
+    from humanoid_tpu.utils import registry
+
+    cfg, _ = registry.get_cfgs(task)
+    cfg = cfg.replace(env=dataclasses.replace(cfg.env, num_envs=n))
+    env_k, _ = registry.make_env(task, env_cfg=cfg)
+    cfg_x = cfg.replace(
+        sim=dataclasses.replace(cfg.sim, use_pallas_substep=False)
+    )
+    env_x, _ = registry.make_env(task, env_cfg=cfg_x)
+    assert env_k._control_fn is not None
+    return env_k, env_x
+
+
+def _track(env_k, env_x, steps=20):
+    """Step both paths with identical keys/actions; return max divergence
+    and both median base heights."""
+    key = jax.random.PRNGKey(0)
+    s_k = env_k.initial_state(key)
+    s_x = env_x.initial_state(key)
+    step_k = jax.jit(env_k.step)
+    step_x = jax.jit(env_x.step)
+    kk = jax.random.PRNGKey(1)
+    max_dq = 0.0
+    for _ in range(steps):
+        ka, kk = jax.random.split(kk)
+        a = 0.3 * jax.random.normal(ka, (env_k.cfg.env.num_envs, env_k.nj))
+        s_k, _ = step_k(s_k, a, ka)
+        s_x, _ = step_x(s_x, a, ka)
+        max_dq = max(
+            max_dq, float(jnp.max(jnp.abs(s_k.phys.qj - s_x.phys.qj)))
+        )
+    return (
+        max_dq,
+        float(jnp.median(s_k.phys.base_pos[:, 2])),
+        float(jnp.median(s_x.phys.base_pos[:, 2])),
+    )
+
+
+@needs_tpu
+def test_kernel_per_env_gains_and_body_rand_tracks_xla():
+    """humanoid_ppo_robust (per-env kp/kd/strength/offset + COM/inertia
+    randomization) through the kernel's per_env_gains/per_env_body inputs
+    stays on the XLA trajectory."""
+    env_k, env_x = _env_pair("humanoid_ppo_robust")
+    max_dq, z_k, z_x = _track(env_k, env_x)
+    assert max_dq < 0.05, max_dq
+    assert abs(z_k - z_x) < 0.01 and z_k > 0.7
+
+
+@needs_tpu
+def test_kernel_heightfield_planes_track_xla():
+    """Heightfield terrain through the kernel's local-tangent-plane contact
+    stays on the XLA per-substep-bilinear trajectory."""
+    env_k, env_x = _env_pair("humanoid_ppo_terrain")
+    max_dq, z_k, z_x = _track(env_k, env_x)
+    assert max_dq < 0.05, max_dq
+    assert abs(z_k - z_x) < 0.01
