@@ -27,6 +27,23 @@ ACT_PERMUTATION: SignedPerm = (
     (0, -1), (1, -1), (2, 1), (3, 1), (4, 1), (5, -1),
 )
 
+# 18-dof layout (assets.XBOT18_JOINT_ORDER): 6 arm dofs then the 12 legs.
+# All three arm joints mirror with a sign flip — the XBot URDF's right-arm
+# limits are the exact negation of the left's (shoulder_pitch [-3.14,1.4]
+# vs [-1.4,3.14] etc.), so q_mirror = -q_other_side.
+ACT_PERMUTATION_18: SignedPerm = tuple(
+    [(3, -1), (4, -1), (5, -1), (0, -1), (1, -1), (2, -1)]
+    + [(src + 6, s) for src, s in ACT_PERMUTATION]
+)
+
+
+def act_permutation(nj: int) -> SignedPerm:
+    if nj == 12:
+        return ACT_PERMUTATION
+    if nj == 18:
+        return ACT_PERMUTATION_18
+    raise ValueError(f"no mirror spec for nj={nj}")
+
 
 def single_obs_permutation(nj: int = 12) -> SignedPerm:
     """47-dim single-frame obs mirror:
@@ -37,9 +54,10 @@ def single_obs_permutation(nj: int = 12) -> SignedPerm:
     # commands: vx keeps, vy and wyaw flip
     perm += [(2, 1.0), (3, -1.0), (4, -1.0)]
     base = 5
+    dof_perm = act_permutation(nj)
     for block in range(3):           # q, dq, actions share the dof mirror
         off = base + block * nj
-        perm += [(off + i, s) for i, s in ACT_PERMUTATION]
+        perm += [(off + i, s) for i, s in dof_perm]
     off = base + 3 * nj
     # angular velocity (wx, wy, wz): roll and yaw rates flip, pitch keeps
     perm += [(off + 0, -1.0), (off + 1, 1.0), (off + 2, -1.0)]
@@ -62,7 +80,7 @@ def build_perm_matrix(spec: SignedPerm, frame_stack: int = 1) -> np.ndarray:
 
 
 def xbot_perm_matrices(frame_stack: int = 15, nj: int = 12):
-    """(obs_perm (705,705), act_perm (12,12)) for the XBot-L task."""
+    """(obs_perm (15K,15K), act_perm (nj,nj)) for the XBot-L/D11 tasks."""
     obs = build_perm_matrix(single_obs_permutation(nj), frame_stack)
-    act = build_perm_matrix(ACT_PERMUTATION)
+    act = build_perm_matrix(act_permutation(nj))
     return obs, act

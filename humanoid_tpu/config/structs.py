@@ -198,6 +198,12 @@ class RewardsCfg:
     target_joint_pos_scale: float = 0.17
     target_feet_height: float = 0.06
     cycle_time: float = 0.64
+    # leg-joint indices driven by the sinusoidal gait reference, per side:
+    # (hip/leg pitch, knee, ankle pitch). 12-dof canonical values; the
+    # 18-dof layout shifts them +6 for the leading arm dofs
+    # (humanoid_env.py:731-739 writes indices 2+6/3+6/4+6 and 8+6/9+6/10+6)
+    ref_leg_idx_left: Tuple[int, int, int] = (2, 3, 4)
+    ref_leg_idx_right: Tuple[int, int, int] = (8, 9, 10)
     only_positive_rewards: bool = True
     tracking_sigma: float = 5.0
     max_contact_force: float = 700.0
@@ -274,7 +280,8 @@ class TerrainCfg:
 @dataclass(frozen=True)
 class AssetCfg:
     """humanoid_config.py:79-119."""
-    urdf: str = ""                  # resolved by the task registry
+    urdf: str = ""                  # explicit path override; else `robot`
+    robot: str = "xbot12"           # named variant (assets.resolve_robot)
     foot_name: str = "ankle_roll"
     knee_name: str = "knee"
     terminate_after_contacts_on: Tuple[str, ...] = ("base_link",)
@@ -374,6 +381,38 @@ class RunnerCfg:
     # marshalling, so batching amortizes it (metrics still logged per
     # iteration; checkpoints never split a dispatch)
     iters_per_dispatch: int = 10
+
+
+def d11_cfg() -> XBotLCfg:
+    """The 18-dof task config the reference fork is configured for
+    (humanoid_config.py:43-55: num_actions=18, num_single_obs=65,
+    num_privileged_obs=97x3) but cannot run — its D11_X assets and env
+    modules are missing (SURVEY.md §0.1-0.2). Robot: the XBot-L 18-dof
+    variant (assets.make_xbot18_urdf). Arm gains/defaults follow the
+    fork's D11 tables (humanoid_config.py:199-246: shoulder 75/3, elbow
+    10/1, elbow default 1.0472 — sign-mirrored on the right to match the
+    XBot URDF's mirrored joint limits); leg gains/defaults keep the
+    validated XBot-L values (same legs)."""
+    return XBotLCfg(
+        env=EnvCfg(
+            num_actions=18, num_single_obs=65, single_num_privileged_obs=97
+        ),
+        asset=AssetCfg(robot="xbot18"),
+        init_state=InitStateCfg(
+            default_joint_angles=_t(
+                0.0, 0.0, 1.0472, 0.0, 0.0, -1.0472, *([0.0] * 12)
+            )
+        ),
+        control=ControlCfg(
+            stiffness=_t(75, 75, 10, 75, 75, 10,
+                         200, 200, 350, 350, 15, 15,
+                         200, 200, 350, 350, 15, 15),
+            damping=_t(3, 3, 1, 3, 3, 1, *([10.0] * 12)),
+        ),
+        rewards=RewardsCfg(
+            ref_leg_idx_left=(8, 9, 10), ref_leg_idx_right=(14, 15, 16)
+        ),
+    )
 
 
 @dataclass(frozen=True)

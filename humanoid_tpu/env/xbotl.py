@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..assets import XBOT_JOINT_ORDER, XBOT_URDF
+from ..assets import resolve_robot
 from ..config.structs import XBotLCfg
 from ..physics.contact import ContactParams, Terrain
 from ..physics.engine import (
@@ -119,9 +119,10 @@ class XBotLEnv:
         terrain_world=None,
     ):
         self.cfg = cfg
+        urdf_path, joint_order = resolve_robot(cfg.asset)
         self.model = model or load_urdf(
-            cfg.asset.urdf or XBOT_URDF,
-            joint_order=XBOT_JOINT_ORDER,
+            urdf_path,
+            joint_order=joint_order,
             foot_name=cfg.asset.foot_name,
             knee_name=cfg.asset.knee_name,
             terminate_on=cfg.asset.terminate_after_contacts_on,
@@ -277,17 +278,18 @@ class XBotLEnv:
         return jnp.where(double, 1.0, stance), sin_pos
 
     def _ref_dof_pos(self, episode_length, gait_start=None):
-        """Sinusoidal leg reference (humanoid_env.py:717-744, 12-dof
-        indices 2,3,4 / 8,9,10) — built scatter-free from constant masks."""
+        """Sinusoidal leg reference (humanoid_env.py:717-744; leg pitch/
+        knee/ankle indices from cfg.rewards.ref_leg_idx_*, which the 18-dof
+        layout shifts +6) — built scatter-free from constant masks."""
         _, sin_pos = self._gait_masks(episode_length, gait_start)
         s1 = self.cfg.rewards.target_joint_pos_scale
         s2 = 2 * s1
         sin_l = jnp.minimum(sin_pos, 0.0)
         sin_r = jnp.maximum(sin_pos, 0.0)
         vl = np.zeros(self.nj, dtype=np.float32)
-        vl[[2, 3, 4]] = [s1, s2, s1]
+        vl[list(self.cfg.rewards.ref_leg_idx_left)] = [s1, s2, s1]
         vr = np.zeros(self.nj, dtype=np.float32)
-        vr[[8, 9, 10]] = [s1, s2, s1]
+        vr[list(self.cfg.rewards.ref_leg_idx_right)] = [s1, s2, s1]
         ref = sin_l[:, None] * jnp.asarray(vl) + sin_r[:, None] * jnp.asarray(vr)
         double = (jnp.abs(sin_pos) < 0.1)[:, None]
         return jnp.where(double, 0.0, ref)

@@ -138,10 +138,10 @@ def _register_builtin():
         ),
         XBotLCfgPPO(),
     )
-    # the generic legged-layer task the reference registers as d11_ppo /
-    # d12_ppo (envs/__init__.py:48-50; the D11/D12 envs are missing
-    # upstream): XBot-L with the full extended domain-randomization set,
-    # action-lag, stand/walk gait switching and the command curriculum
+    # the extended-features task: XBot-L with the full extended
+    # domain-randomization set, action-lag, stand/walk gait switching and
+    # the command curriculum (the generic legged layer's feature surface,
+    # legged_robot.py:262-497)
     from ..config.structs import CommandsCfg, DomainRandCfg, RewardsCfg
 
     register(
@@ -174,6 +174,40 @@ def _register_builtin():
         "humanoid_ppo_8k",
         XBotLEnv,
         XBotLCfg(env=EnvCfg(num_envs=8192)),
+        XBotLCfgPPO(),
+    )
+    # the 18-dof tasks the reference registers as d11_ppo / d12_ppo
+    # (envs/__init__.py:48-50) but cannot run — the D11/D12 env modules and
+    # the D11_X assets are missing upstream (SURVEY.md §0.1-0.2), while its
+    # config clearly targets 18 dofs (num_actions=18, num_single_obs=65,
+    # humanoid_config.py:47-55). Robot: XBot-L with the 6 arm dofs
+    # re-enabled (assets.make_xbot18_urdf); d12_ppo adds the extended
+    # robustness feature set the D12 env would have inherited from
+    # LeggedRobot.
+    from ..config.structs import d11_cfg
+
+    register("d11_ppo", XBotLEnv, d11_cfg(), XBotLCfgPPO())
+    register(
+        "d12_ppo",
+        XBotLEnv,
+        d11_cfg().replace(
+            domain_rand=DomainRandCfg(
+                randomize_link_mass=True,
+                randomize_base_com=True,
+                randomize_inertia=True,
+                randomize_motor_strength=True,
+                randomize_motor_offset=True,
+                randomize_kp_factor=True,
+                randomize_kd_factor=True,
+                randomize_lag_timesteps=True,
+            ),
+            commands=CommandsCfg(
+                curriculum=True,
+                sw_switch=True,
+                gait=("walk_omnidirectional", "stand",
+                      "walk_omnidirectional"),
+            ),
+        ),
         XBotLCfgPPO(),
     )
 
