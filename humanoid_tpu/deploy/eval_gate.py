@@ -27,10 +27,11 @@ class CheckpointEvalGate:
 
     def __init__(self, log_dir: str, duration: float = 10.0,
                  cmd: Tuple[float, float, float] = (0.5, 0.0, 0.0),
-                 max_concurrent: int = 1):
+                 max_concurrent: int = 1, task: str = ""):
         self.log_dir = log_dir
         self.duration = duration
         self.cmd = cmd
+        self.task = task
         self.max_concurrent = max_concurrent
         self.jsonl_path = os.path.join(log_dir, "eval_gate.jsonl")
         self._procs: List[Tuple[int, str, subprocess.Popen, float]] = []
@@ -54,10 +55,13 @@ class CheckpointEvalGate:
         env["PALLAS_AXON_POOL_IPS"] = ""    # CPU-only subprocess
         env["JAX_PLATFORMS"] = "cpu"
         env.setdefault("MUJOCO_GL", "disable")
+        argv = [sys.executable, "-m", "humanoid_tpu.deploy.sim2sim",
+                "--load-model", npz, "--duration", str(self.duration),
+                "--cmd", *map(str, self.cmd)]
+        if self.task:
+            argv += ["--task", self.task]
         proc = subprocess.Popen(
-            [sys.executable, "-m", "humanoid_tpu.deploy.sim2sim",
-             "--load-model", npz, "--duration", str(self.duration),
-             "--cmd", *map(str, self.cmd)],
+            argv,
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True, cwd="/root/repo",
         )

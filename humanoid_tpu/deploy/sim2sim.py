@@ -32,7 +32,7 @@ class Sim2simCfg:
     # ankle_roll] per leg
     kps: tuple = (200, 200, 350, 350, 15, 15, 200, 200, 350, 350, 15, 15)
     kds: tuple = (10,) * 12
-    tau_limit: float = 200.0
+    tau_limit = 200.0            # scalar or per-joint tuple
     num_actions: int = 12
     num_single_obs: int = 47
     frame_stack: int = 15
@@ -48,6 +48,70 @@ class Sim2simCfg:
     base_init_z: float = 0.93     # reference sim2sim.py:166
     # fall detection for the metric (not in the reference viewer loop)
     min_base_height: float = 0.45
+
+
+def cfg_for_task(task: str, duration: float = 60.0) -> Sim2simCfg:
+    """Build the replay config from a registered task's env config.
+
+    For the 12-dof XBot tasks the shipped reference MJCF is the (preferred,
+    fully independent) oracle; for other robots (e.g. the 18-dof d11 tasks)
+    an MJCF is exported from the compiled RobotModel
+    (mjcf_export.model_to_mjcf), which still runs MuJoCo's own contact and
+    integrator against our training physics."""
+    import tempfile
+
+    from ..assets import prepare_mujoco_xml, resolve_robot
+    from ..utils.registry import get_cfgs
+
+    env_cfg, _ = get_cfgs(task)
+    if env_cfg.asset.robot == "xbot12" and not env_cfg.asset.urdf:
+        mjcf = prepare_mujoco_xml()
+        tau_limit = 200.0
+    else:
+        from ..physics.mjcf_export import model_to_mjcf
+        from ..physics.urdf import load_urdf
+
+        urdf_path, joint_order = resolve_robot(env_cfg.asset)
+        m = load_urdf(
+            urdf_path, joint_order=joint_order,
+            foot_name=env_cfg.asset.foot_name,
+            knee_name=env_cfg.asset.knee_name,
+            terminate_on=env_cfg.asset.terminate_after_contacts_on,
+            armature=env_cfg.sim.armature,
+        )
+        xml = model_to_mjcf(m, with_floor=True)
+        f = tempfile.NamedTemporaryFile(
+            "w", suffix=".xml", prefix=f"sim2sim_{task}_", delete=False
+        )
+        f.write(xml)
+        f.close()
+        mjcf = f.name
+        tau_limit = tuple(
+            float(e) * env_cfg.safety.torque_limit for e in m.dof_effort
+        )
+    cfg = Sim2simCfg(
+        mujoco_model_path=mjcf,
+        sim_duration=duration,
+        dt=env_cfg.sim.dt,
+        decimation=env_cfg.control.decimation,
+        kps=env_cfg.control.stiffness,
+        kds=env_cfg.control.damping,
+        num_actions=env_cfg.env.num_actions,
+        num_single_obs=env_cfg.env.num_single_obs,
+        frame_stack=env_cfg.env.frame_stack,
+        cycle_time=env_cfg.rewards.cycle_time,
+        action_scale=env_cfg.control.action_scale,
+        clip_observations=env_cfg.normalization.clip_observations,
+        clip_actions=env_cfg.normalization.clip_actions,
+        obs_scale_lin_vel=env_cfg.normalization.obs_scales.lin_vel,
+        obs_scale_ang_vel=env_cfg.normalization.obs_scales.ang_vel,
+        obs_scale_dof_pos=env_cfg.normalization.obs_scales.dof_pos,
+        obs_scale_dof_vel=env_cfg.normalization.obs_scales.dof_vel,
+        default_pos=env_cfg.init_state.default_joint_angles,
+        base_init_z=env_cfg.init_state.pos[2] - 0.02,
+    )
+    cfg.tau_limit = tau_limit
+    return cfg
 
 
 def _quat_to_euler(quat_wxyz):
@@ -92,6 +156,7 @@ def run_mujoco(
     nj = cfg.num_actions
     kps = np.asarray(cfg.kps, dtype=np.float64)
     kds = np.asarray(cfg.kds, dtype=np.float64)
+    tau_limit = np.asarray(cfg.tau_limit, dtype=np.float64)
     default_pos = np.asarray(cfg.default_pos, dtype=np.float64)
     hist_obs = deque(
         [np.zeros((1, cfg.num_single_obs), dtype=np.float32)] * cfg.frame_stack,
@@ -165,7 +230,7 @@ def run_mujoco(
             target_q = action * cfg.action_scale + default_pos
 
         tau = kps * (target_q - q) - kds * dq
-        tau = np.clip(tau, -cfg.tau_limit, cfg.tau_limit)
+        tau = np.clip(tau, -tau_limit, tau_limit)
         data.ctrl[:] = tau
 
         if push_schedule is not None:
@@ -208,6 +273,10 @@ def main(argv=None):
     p.add_argument("--load-model", "--load_model", dest="load_model",
                    required=True, help=".npz exported policy")
     p.add_argument("--duration", type=float, default=60.0)
+    p.add_argument("--task", default="",
+                   help="build the replay config from this registered "
+                        "task (non-XBot12 robots replay in an MJCF "
+                        "exported from the compiled model)")
     p.add_argument("--terrain", action="store_true")
     p.add_argument("--cmd", type=float, nargs=3, default=[0.5, 0.0, 0.0])
     p.add_argument("--joystick", action="store_true",
@@ -225,12 +294,17 @@ def main(argv=None):
 
     from ..assets import XBOT_MJCF, XBOT_MJCF_TERRAIN, prepare_mujoco_xml
 
-    cfg = Sim2simCfg(
-        sim_duration=args.duration,
-        mujoco_model_path=prepare_mujoco_xml(
-            XBOT_MJCF_TERRAIN if args.terrain else XBOT_MJCF
-        ),
-    )
+    if args.task:
+        cfg = cfg_for_task(args.task, duration=args.duration)
+        if args.terrain:
+            cfg.mujoco_model_path = prepare_mujoco_xml(XBOT_MJCF_TERRAIN)
+    else:
+        cfg = Sim2simCfg(
+            sim_duration=args.duration,
+            mujoco_model_path=prepare_mujoco_xml(
+                XBOT_MJCF_TERRAIN if args.terrain else XBOT_MJCF
+            ),
+        )
     policy = NpzPolicy(args.load_model)
     command_source = None
     if args.joystick:

@@ -84,7 +84,9 @@ def train(args) -> None:
     if getattr(args, "eval_gate", None) and runner.log_dir:
         from ..deploy.eval_gate import CheckpointEvalGate
 
-        gate = CheckpointEvalGate(runner.log_dir, duration=args.eval_gate)
+        gate = CheckpointEvalGate(
+            runner.log_dir, duration=args.eval_gate, task=args.task
+        )
         runner.on_checkpoint = gate
     total = args.max_iterations or train_cfg.runner.max_iterations
 

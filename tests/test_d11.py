@@ -101,6 +101,26 @@ def test_d12_step_with_extensions():
     assert s.lag_buffer.shape == (4, cfg.domain_rand.lag_timesteps + 1, 18)
 
 
+def test_sim2sim_cfg_for_task():
+    """Task-built replay config: 18-dof tasks get an MJCF exported from the
+    compiled model (the shipped reference MJCF is 12-dof) with per-joint
+    torque limits; XBot12 tasks keep the independent reference MJCF."""
+    mujoco = pytest.importorskip("mujoco")
+    from humanoid_tpu.deploy.sim2sim import cfg_for_task, run_mujoco
+
+    cfg = cfg_for_task("d11_ppo", duration=0.5)
+    assert cfg.num_actions == 18 and cfg.num_single_obs == 65
+    assert len(cfg.tau_limit) == 18
+    model = mujoco.MjModel.from_xml_path(cfg.mujoco_model_path)
+    assert model.nu == 18
+    m = run_mujoco(lambda obs: np.zeros(18), cfg, command=(0.0, 0.0, 0.0))
+    assert m["survived_s"] > 0.2  # PD holds the default pose briefly
+
+    cfg12 = cfg_for_task("humanoid_ppo", duration=0.5)
+    assert cfg12.num_actions == 12
+    assert "XBot-L.xml" in cfg12.mujoco_model_path
+
+
 def test_urdf_generation_idempotent():
     p1 = make_xbot18_urdf()
     p2 = make_xbot18_urdf()
