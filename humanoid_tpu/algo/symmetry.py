@@ -10,7 +10,17 @@ entries as explicit (source_index, sign) pairs instead of the reference's
 
 XBot-L mirror (left/right swap across the x-z plane), dof order
 [L_roll, L_yaw, L_pitch, L_knee, L_ankle_p, L_ankle_r, R_*]:
-roll/yaw swap sides with a sign flip; pitch/knee/ankle_pitch swap sides.
+every joint swaps sides with a sign flip — the XBot URDF's right-leg
+joint axes are the exact negation of the left's (the same convention its
+mirrored joint limits and the reference's gait generator follow:
+compute_ref_state drives the left leg with sin<=0 and the right with
+sin>=0, humanoid_env.py:717-744 — i.e. ref_left = -ref_right).
+
+The signs are VALIDATED against the URDF geometry, not assumed:
+tests/test_symmetry.py runs FK on (q, mirror(q)) and asserts every
+left/right body-pair's position and default-pose-relative orientation are
+exact reflections (an exhaustive sign search over the 2^6 per-joint-type
+combinations admits exactly this one solution).
 """
 from __future__ import annotations
 
@@ -20,11 +30,11 @@ import numpy as np
 
 SignedPerm = Sequence[Tuple[int, float]]
 
-# mirrored_left_dofs come from right side (sign-flipped for roll/yaw), and
-# vice versa
+# mirrored_left_dofs come from the right side, all sign-flipped (and vice
+# versa) — see module docstring for the URDF-geometry validation
 ACT_PERMUTATION: SignedPerm = (
-    (6, -1), (7, -1), (8, 1), (9, 1), (10, 1), (11, -1),
-    (0, -1), (1, -1), (2, 1), (3, 1), (4, 1), (5, -1),
+    (6, -1), (7, -1), (8, -1), (9, -1), (10, -1), (11, -1),
+    (0, -1), (1, -1), (2, -1), (3, -1), (4, -1), (5, -1),
 )
 
 # 18-dof layout (assets.XBOT18_JOINT_ORDER): 6 arm dofs then the 12 legs.

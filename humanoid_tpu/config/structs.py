@@ -253,8 +253,28 @@ class NoiseCfg:
 
 @dataclass(frozen=True)
 class TerrainCfg:
-    """legged_robot_config.py terrain + HumanoidTerrain (terrain.py:189-231)."""
-    mesh_type: str = "plane"        # plane | heightfield
+    """legged_robot_config.py terrain + HumanoidTerrain (terrain.py:189-231).
+
+    mesh_type "trimesh" = heightfield sampling with the reference's
+    slope-threshold vertical-face semantics (terrain_utils.
+    convert_heightfield_to_trimesh, terrain.py:69-73): cell edges steeper
+    than `slope_treshold` become near-vertical walls and contact forces act
+    along the local surface normal, so stair risers block feet instead of
+    behaving as 45-degree ramps. "heightfield" = raw bilinear sampling
+    (isaacgym's heightfield mode has no vertical-face correction either).
+    """
+    mesh_type: str = "plane"        # plane | heightfield | trimesh
+    # which make_terrain set assembles the curriculum cells:
+    #   "humanoid" — HumanoidTerrain's gentler set (terrain.py:200-231):
+    #     [flat, discrete, rough, slope up, slope down, stairs up/down]
+    #   "base" — the generic Terrain set (terrain.py:110-143):
+    #     [slope (down if < p0/2), rough slope, stairs down, stairs up,
+    #      discrete, stepping stones, gap, pit (remainder)]
+    generator_set: str = "humanoid"
+    # selected-terrain mode (terrain.py:95-107): force every cell to one
+    # primitive ("" = curriculum/randomized as usual). Names: flat, rough,
+    # slope, stairs, discrete, stepping_stones, gap, pit
+    selected_type: str = ""
     horizontal_scale: float = 0.1
     vertical_scale: float = 0.005
     border_size: float = 25.0
@@ -392,7 +412,14 @@ def d11_cfg() -> XBotLCfg:
     fork's D11 tables (humanoid_config.py:199-246: shoulder 75/3, elbow
     10/1, elbow default 1.0472 — sign-mirrored on the right to match the
     XBot URDF's mirrored joint limits); leg gains/defaults keep the
-    validated XBot-L values (same legs)."""
+    validated XBot-L values (same legs).
+
+    base_height_target stays at the XBot-L 0.89 (RewardsCfg default)
+    rather than the fork's 0.94 (humanoid_config.py:382): that value was
+    tuned for the missing D11_X robot, while this task's robot is the
+    XBot-L with arms re-enabled — same legs, same standing base height
+    (~0.89 m at the default pose), so 0.94 would penalize the correct
+    stance. Deliberate deviation, validated by the d11 sim2sim gate."""
     return XBotLCfg(
         env=EnvCfg(
             num_actions=18, num_single_obs=65, single_num_privileged_obs=97

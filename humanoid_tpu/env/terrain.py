@@ -191,9 +191,82 @@ def humanoid_make_terrain(cfg: TerrainCfg, choice: float, difficulty: float,
     return t
 
 
+def base_make_terrain(cfg: TerrainCfg, choice: float, difficulty: float,
+                      size_px: int, rng) -> SubTerrain:
+    """The generic base-Terrain.make_terrain set (terrain.py:110-143):
+    difficulty-scaled slopes, rough slopes, stairs, discrete obstacles,
+    stepping stones, gap, pit — pit is the remainder past the last
+    proportion, exactly like the reference's trailing `else`."""
+    t = SubTerrain(size_px, cfg.horizontal_scale, cfg.vertical_scale)
+    props = np.cumsum(cfg.terrain_proportions)
+    slope = difficulty * 0.4
+    step_height = 0.05 + 0.18 * difficulty
+    discrete_obstacles_height = 0.05 + difficulty * 0.2
+    stepping_stones_size = 1.5 * (1.05 - difficulty)
+    stone_distance = 0.05 if difficulty == 0 else 0.1
+    gap_size = 1.0 * difficulty
+    pit_depth = 1.0 * difficulty
+    if choice < props[0]:
+        if choice < props[0] / 2:
+            slope *= -1
+        pyramid_sloped_terrain(t, slope, platform_size=3.0)
+    elif len(props) > 1 and choice < props[1]:
+        pyramid_sloped_terrain(t, slope, platform_size=3.0)
+        random_uniform_terrain(t, -0.05, 0.05, step=0.005,
+                               downsampled_scale=0.2, rng=rng)
+    elif len(props) > 3 and choice < props[3]:
+        if choice < props[2]:
+            step_height *= -1
+        pyramid_stairs_terrain(t, 0.31, step_height, platform_size=3.0)
+    elif len(props) > 4 and choice < props[4]:
+        discrete_obstacles_terrain(t, discrete_obstacles_height, 1.0, 2.0,
+                                   20, platform_size=3.0, rng=rng)
+    elif len(props) > 5 and choice < props[5]:
+        stepping_stones_terrain(t, stepping_stones_size, stone_distance,
+                                max_height=0.0, platform_size=4.0, rng=rng)
+    elif len(props) > 6 and choice < props[6]:
+        gap_terrain(t, gap_size, platform_size=3.0)
+    else:
+        pit_terrain(t, pit_depth, platform_size=4.0)
+    return t
+
+
+def selected_make_terrain(cfg: TerrainCfg, name: str, difficulty: float,
+                          size_px: int, rng) -> SubTerrain:
+    """Selected-terrain mode (terrain.py:95-107): every cell is the named
+    primitive at the given difficulty (the reference eval()'s a type string
+    from terrain_kwargs; we use an explicit name table)."""
+    t = SubTerrain(size_px, cfg.horizontal_scale, cfg.vertical_scale)
+    d = difficulty
+    if name == "flat":
+        pass
+    elif name == "rough":
+        random_uniform_terrain(t, -0.05 - 0.05 * d, 0.05 + 0.05 * d, rng=rng)
+    elif name == "slope":
+        pyramid_sloped_terrain(t, 0.4 * d, platform_size=3.0)
+    elif name == "stairs":
+        pyramid_stairs_terrain(t, 0.31, 0.05 + 0.18 * d, platform_size=3.0)
+    elif name == "discrete":
+        discrete_obstacles_terrain(t, 0.05 + 0.2 * d, 1.0, 2.0, 20,
+                                   platform_size=3.0, rng=rng)
+    elif name == "stepping_stones":
+        stepping_stones_terrain(t, 1.5 * (1.05 - d), 0.1, max_height=0.0,
+                                platform_size=4.0, rng=rng)
+    elif name == "gap":
+        gap_terrain(t, 1.0 * d, platform_size=3.0)
+    elif name == "pit":
+        pit_terrain(t, 1.0 * d, platform_size=4.0)
+    else:
+        raise ValueError(f"unknown selected terrain type {name!r}")
+    return t
+
+
 def build_terrain(cfg: TerrainCfg, seed: int = 0) -> TerrainWorld:
     """Curriculum grid: difficulty = row / num_rows, type = column
-    (terrain.py:86-93) with the HumanoidTerrain generator set."""
+    (terrain.py:86-93), with the generator set picked by
+    cfg.generator_set ("humanoid" | "base") or a forced cfg.selected_type.
+    Randomized (non-curriculum) mode draws difficulty from the base set's
+    {0.5, 0.75, 0.9} (terrain.py:79-81) when generator_set == "base"."""
     rng = np.random.RandomState(seed)
     size_px = int(cfg.terrain_length / cfg.horizontal_scale)
     border_px = int(cfg.border_size / cfg.horizontal_scale)
@@ -206,10 +279,21 @@ def build_terrain(cfg: TerrainCfg, seed: int = 0) -> TerrainWorld:
             if cfg.curriculum:
                 difficulty = i / cfg.num_rows
                 choice = j / cfg.num_cols + 0.001
+            elif cfg.generator_set == "base":
+                difficulty = rng.choice([0.5, 0.75, 0.9])
+                choice = rng.uniform(0, 1)
             else:
                 difficulty = rng.uniform(0, 1)
                 choice = rng.uniform(0, 1)
-            t = humanoid_make_terrain(cfg, choice, difficulty, size_px, rng)
+            if cfg.selected_type:
+                t = selected_make_terrain(
+                    cfg, cfg.selected_type, difficulty, size_px, rng
+                )
+            elif cfg.generator_set == "base":
+                t = base_make_terrain(cfg, choice, difficulty, size_px, rng)
+            else:
+                t = humanoid_make_terrain(cfg, choice, difficulty, size_px,
+                                          rng)
             x0 = border_px + i * size_px
             y0 = border_px + j * size_px
             field[x0 : x0 + size_px, y0 : y0 + size_px] = (

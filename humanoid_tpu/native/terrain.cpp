@@ -182,12 +182,82 @@ void ht_pit(int16_t* h, int n, double hs, double vs, double depth,
 //
 // field: (rows*size_px + 2*border_px) x (cols*size_px + 2*border_px)
 // doubles in meters, row-major. origins: rows*cols*3 doubles.
+//
+// generator_set: 0 = HumanoidTerrain's gentle set (terrain.py:200-231),
+//                1 = generic base-Terrain set (terrain.py:110-143) —
+//                    slopes/rough slope/stairs/discrete/stones/gap/pit.
+// selected: -1 = curriculum/randomized; else force every cell to one
+// primitive id (terrain.py:95-107): 0 flat, 1 rough, 2 slope, 3 stairs,
+// 4 discrete, 5 stepping_stones, 6 gap, 7 pit.
+
+namespace {
+
+void base_cell(int16_t* c, int size_px, double hs, double vs, double choice,
+               double difficulty, const double* cum, int n_props,
+               uint64_t cs) {
+    double slope = difficulty * 0.4;
+    double step_height = 0.05 + 0.18 * difficulty;
+    double disc_h = 0.05 + difficulty * 0.2;
+    double stones_size = 1.5 * (1.05 - difficulty);
+    double stone_distance = difficulty == 0.0 ? 0.05 : 0.1;
+    double gap_size = 1.0 * difficulty;
+    double pit_depth = 1.0 * difficulty;
+    if (choice < cum[0]) {
+        if (choice < cum[0] / 2) slope = -slope;
+        ht_pyramid_slope(c, size_px, hs, vs, slope, 3.0);
+    } else if (n_props > 1 && choice < cum[1]) {
+        ht_pyramid_slope(c, size_px, hs, vs, slope, 3.0);
+        ht_random_uniform(c, size_px, hs, vs, -0.05, 0.05, 0.005, 0.2, cs);
+    } else if (n_props > 3 && choice < cum[3]) {
+        if (choice < cum[2]) step_height = -step_height;
+        ht_pyramid_stairs(c, size_px, hs, vs, 0.31, step_height, 3.0);
+    } else if (n_props > 4 && choice < cum[4]) {
+        ht_discrete_obstacles(c, size_px, hs, vs, disc_h, 1.0, 2.0, 20, 3.0,
+                              cs);
+    } else if (n_props > 5 && choice < cum[5]) {
+        ht_stepping_stones(c, size_px, hs, vs, stones_size, stone_distance,
+                           0.0, 4.0, -10.0, cs);
+    } else if (n_props > 6 && choice < cum[6]) {
+        ht_gap(c, size_px, hs, gap_size, 3.0);
+    } else {
+        ht_pit(c, size_px, hs, vs, pit_depth, 4.0);
+    }
+}
+
+void selected_cell(int16_t* c, int size_px, double hs, double vs,
+                   int selected, double d, uint64_t cs) {
+    switch (selected) {
+        case 0: break;  // flat
+        case 1:
+            ht_random_uniform(c, size_px, hs, vs, -0.05 - 0.05 * d,
+                              0.05 + 0.05 * d, 0.005, 0.2, cs);
+            break;
+        case 2: ht_pyramid_slope(c, size_px, hs, vs, 0.4 * d, 3.0); break;
+        case 3:
+            ht_pyramid_stairs(c, size_px, hs, vs, 0.31, 0.05 + 0.18 * d,
+                              3.0);
+            break;
+        case 4:
+            ht_discrete_obstacles(c, size_px, hs, vs, 0.05 + 0.2 * d, 1.0,
+                                  2.0, 20, 3.0, cs);
+            break;
+        case 5:
+            ht_stepping_stones(c, size_px, hs, vs, 1.5 * (1.05 - d), 0.1,
+                               0.0, 4.0, -10.0, cs);
+            break;
+        case 6: ht_gap(c, size_px, hs, 1.0 * d, 3.0); break;
+        case 7: ht_pit(c, size_px, hs, vs, 1.0 * d, 4.0); break;
+        default: break;
+    }
+}
+
+}  // namespace
 
 void ht_build_world(double* field, double* origins, int num_rows,
                     int num_cols, int size_px, int border_px, double hs,
                     double vs, double terrain_length,
                     const double* proportions, int n_props, int curriculum,
-                    uint64_t seed) {
+                    int generator_set, int selected, uint64_t seed) {
     int H = num_rows * size_px + 2 * border_px;
     int W = num_cols * size_px + 2 * border_px;
     std::memset(field, 0, sizeof(double) * (size_t)H * W);
@@ -204,6 +274,12 @@ void ht_build_world(double* field, double* origins, int num_rows,
             if (curriculum) {
                 difficulty = (double)i / num_rows;
                 choice = (double)j / num_cols + 0.001;
+            } else if (generator_set == 1) {
+                // base randomized mode: difficulty in {0.5, 0.75, 0.9}
+                // (terrain.py:79-81)
+                const double lv[3] = {0.5, 0.75, 0.9};
+                difficulty = lv[(int)(u01(world_rng) * 3.0) % 3];
+                choice = u01(world_rng);
             } else {
                 difficulty = u01(world_rng);
                 choice = u01(world_rng);
@@ -214,7 +290,12 @@ void ht_build_world(double* field, double* origins, int num_rows,
             double r_height = difficulty * 0.07;
             double h_slope = difficulty * 0.15;
             int16_t* c = cell.data();
-            if (choice < cum[0]) {
+            if (selected >= 0) {
+                selected_cell(c, size_px, hs, vs, selected, difficulty, cs);
+            } else if (generator_set == 1) {
+                base_cell(c, size_px, hs, vs, choice, difficulty, cum.data(),
+                          n_props, cs);
+            } else if (choice < cum[0]) {
                 // flat
             } else if (n_props > 1 && choice < cum[1]) {
                 ht_discrete_obstacles(c, size_px, hs, vs, obstacle_h, 1.0,

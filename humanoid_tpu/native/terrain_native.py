@@ -21,6 +21,12 @@ from .build import load_library
 _c_double_p = ctypes.POINTER(ctypes.c_double)
 _c_int16_p = ctypes.POINTER(ctypes.c_int16)
 
+# selected-terrain primitive ids (must match terrain.cpp selected_cell)
+SELECTED_IDS = {
+    "flat": 0, "rough": 1, "slope": 2, "stairs": 3, "discrete": 4,
+    "stepping_stones": 5, "gap": 6, "pit": 7,
+}
+
 
 def _lib():
     if os.environ.get("HUMANOID_TPU_NATIVE_TERRAIN", "1") == "0":
@@ -31,7 +37,7 @@ def _lib():
             _c_double_p, _c_double_p, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
             ctypes.c_double, _c_double_p, ctypes.c_int, ctypes.c_int,
-            ctypes.c_uint64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
         ]
         lib.ht_pyramid_slope.argtypes = [
             _c_int16_p, ctypes.c_int, ctypes.c_double, ctypes.c_double,
@@ -86,13 +92,17 @@ def build_terrain_native(cfg: TerrainCfg, seed: int = 0) -> TerrainWorld:
     field = np.zeros((H, W), dtype=np.float64)
     origins = np.zeros((cfg.num_rows, cfg.num_cols, 3), dtype=np.float64)
     props = np.asarray(cfg.terrain_proportions, dtype=np.float64)
+    selected = -1
+    if cfg.selected_type:
+        selected = SELECTED_IDS[cfg.selected_type]
     lib.ht_build_world(
         field.ctypes.data_as(_c_double_p),
         origins.ctypes.data_as(_c_double_p),
         cfg.num_rows, cfg.num_cols, size_px, border_px,
         cfg.horizontal_scale, cfg.vertical_scale, cfg.terrain_length,
         props.ctypes.data_as(_c_double_p), len(props),
-        1 if cfg.curriculum else 0, seed,
+        1 if cfg.curriculum else 0,
+        1 if cfg.generator_set == "base" else 0, selected, seed,
     )
     return TerrainWorld(
         height=field,

@@ -365,14 +365,34 @@ def _contact(pos, quat, v_sp, anchors, w_ax, mu, mk, one, planes=None):
         ]
         if planes is None:
             phi = p[2]
+            pen = (phi < 0.0).astype(phi.dtype)
+            fn = jnp.maximum(0.0, -kn * phi - cn * vlin[2]) * pen
+            speed = jnp.sqrt(
+                vlin[0] * vlin[0] + vlin[1] * vlin[1] + vreg * vreg
+            )
+            scale = mu * fn / speed
+            f = [-scale * vlin[0], -scale * vlin[1], fn]
         else:
+            # normal-aligned contact against the local tangent plane
+            # (matches contact._point_forces grads path: penetration along
+            # the plane normal, friction in the tangent plane — walls on
+            # trimesh-mode terrain push back instead of lifting)
             c0, gx, gy = planes[pt_i]
-            phi = p[2] - (c0 + gx * p[0] + gy * p[1])
-        pen = (phi < 0.0).astype(phi.dtype)
-        fn = jnp.maximum(0.0, -kn * phi - cn * vlin[2]) * pen
-        speed = jnp.sqrt(vlin[0] * vlin[0] + vlin[1] * vlin[1] + vreg * vreg)
-        scale = mu * fn / speed
-        f = [-scale * vlin[0], -scale * vlin[1], fn]
+            phi_z = p[2] - (c0 + gx * p[0] + gy * p[1])
+            inv_l = jax.lax.rsqrt(1.0 + gx * gx + gy * gy)
+            nrm = [-gx * inv_l, -gy * inv_l, inv_l]
+            phi = phi_z * inv_l
+            pen = (phi < 0.0).astype(phi.dtype)
+            v_n = (
+                vlin[0] * nrm[0] + vlin[1] * nrm[1] + vlin[2] * nrm[2]
+            )
+            fn = jnp.maximum(0.0, -kn * phi - cn * v_n) * pen
+            vt = [vlin[i] - v_n * nrm[i] for i in range(3)]
+            speed = jnp.sqrt(
+                vt[0] * vt[0] + vt[1] * vt[1] + vt[2] * vt[2] + vreg * vreg
+            )
+            scale = mu * fn / speed
+            f = [fn * nrm[i] - scale * vt[i] for i in range(3)]
         if foot_i is not None:
             for i in range(3):
                 foot_f[foot_i][i] = foot_f[foot_i][i] + f[i]

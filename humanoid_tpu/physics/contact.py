@@ -23,6 +23,7 @@ from __future__ import annotations
 import dataclasses
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -38,17 +39,49 @@ class ContactParams(NamedTuple):
     v_reg: float = 0.05     # friction regularization velocity [m/s]
 
 
+def _warp_t(t, delta, thr, w):
+    """Vertical-face warp of a lerp parameter (the reference's trimesh
+    slope-threshold semantics, terrain_utils.convert_heightfield_to_trimesh
+    via /root/reference/humanoid/utils/terrain.py:69-73): when the rise
+    across a cell edge exceeds `thr`, the low vertex is moved to the high
+    side's grid line, so the surface keeps the low height up to the wall
+    and then rises over a band of width w (fraction of a cell) — a
+    near-vertical face instead of a full-cell ramp."""
+    up = delta > thr                       # high side at t=1 -> wall there
+    dn = delta < -thr                      # high side at t=0 -> wall there
+    t_up = jnp.clip((t - (1.0 - w)) / w, 0.0, 1.0)
+    t_dn = jnp.clip(t / w, 0.0, 1.0)
+    return jnp.where(up, t_up, jnp.where(dn, t_dn, t))
+
+
+def _warp_t_grad(t, delta, thr, w):
+    """d(warped t)/dt — 1/w inside the wall band, 0 on the flats."""
+    up = delta > thr
+    dn = delta < -thr
+    g_up = ((t > 1.0 - w) & (t < 1.0)).astype(t.dtype) / w
+    g_dn = ((t > 0.0) & (t < w)).astype(t.dtype) / w
+    return jnp.where(up, g_up, jnp.where(dn, g_dn, jnp.ones_like(t)))
+
+
 @dataclasses.dataclass(frozen=True)
 class Terrain:
     """Global heightfield shared by all envs. NOT a pytree: closed over
     statically, so `flat` short-circuits sampling at trace time.
 
     height[i, j] is terrain height at x = i*hs - border, y = j*hs - border.
+
+    wall_thresh > 0 enables the trimesh-equivalent vertical-face sampling
+    (reference mesh_type="trimesh", slope_treshold semantics): cell edges
+    rising more than wall_thresh meters become near-vertical walls of
+    horizontal width wall_width*hs. 0 = raw bilinear (isaacgym's
+    heightfield mode, which has no vertical-face correction either).
     """
     height: jnp.ndarray
     horizontal_scale: float
     border: float
     flat: bool = False
+    wall_thresh: float = 0.0     # meters of rise per cell edge
+    wall_width: float = 0.1      # wall band as a fraction of a cell
 
     @staticmethod
     def plane() -> "Terrain":
@@ -62,10 +95,7 @@ class Terrain:
     def flat_terrain() -> "Terrain":
         return Terrain.plane()
 
-    def sample(self, xy):
-        """Bilinear height at world xy (..., 2)."""
-        if self.flat:
-            return jnp.zeros(xy.shape[:-1], dtype=xy.dtype)
+    def _corners(self, xy):
         fx = (xy[..., 0] + self.border) / self.horizontal_scale
         fy = (xy[..., 1] + self.border) / self.horizontal_scale
         H, W = self.height.shape
@@ -79,6 +109,21 @@ class Terrain:
         h10 = self.height[x0 + 1, y0]
         h01 = self.height[x0, y0 + 1]
         h11 = self.height[x0 + 1, y0 + 1]
+        return h00, h10, h01, h11, tx, ty
+
+    def sample(self, xy):
+        """Surface height at world xy (..., 2): bilinear, or wall-aware
+        when wall_thresh > 0."""
+        if self.flat:
+            return jnp.zeros(xy.shape[:-1], dtype=xy.dtype)
+        h00, h10, h01, h11, tx, ty = self._corners(xy)
+        if self.wall_thresh > 0.0:
+            thr, w = self.wall_thresh, self.wall_width
+            dx0, dx1 = h10 - h00, h11 - h01
+            hx0 = h00 + dx0 * _warp_t(tx, dx0, thr, w)
+            hx1 = h01 + dx1 * _warp_t(tx, dx1, thr, w)
+            dy = hx1 - hx0
+            return hx0 + dy * _warp_t(ty, dy, thr, w)
         return (
             h00 * (1 - tx) * (1 - ty)
             + h10 * tx * (1 - ty)
@@ -87,29 +132,34 @@ class Terrain:
         )
 
     def sample_with_grad(self, xy):
-        """(height, dh/dx, dh/dy) of the bilinear surface at world xy.
+        """(height, dh/dx, dh/dy) of the sampled surface at world xy.
 
-        The gradient is exact for the bilinear interpolant within the cell —
-        together with the height it defines the local tangent plane the
-        fused Pallas kernel uses for contact during one control step
-        (ops/physics_kernel.py terrain_planes)."""
+        The gradient is exact for the interpolant within the cell —
+        together with the height it defines the local tangent plane used
+        for normal-aligned contact forces and by the fused Pallas kernel
+        during one control step (ops/physics_kernel.py terrain_planes).
+        Inside a vertical-face band the gradient is ~rise/(w*hs), making
+        the contact normal nearly horizontal — a wall."""
         if self.flat:
             z = jnp.zeros(xy.shape[:-1], dtype=xy.dtype)
             return z, z, z
         hs = self.horizontal_scale
-        fx = (xy[..., 0] + self.border) / hs
-        fy = (xy[..., 1] + self.border) / hs
-        H, W = self.height.shape
-        fx = jnp.clip(fx, 0.0, H - 1.001)
-        fy = jnp.clip(fy, 0.0, W - 1.001)
-        x0 = jnp.floor(fx).astype(jnp.int32)
-        y0 = jnp.floor(fy).astype(jnp.int32)
-        tx = fx - x0
-        ty = fy - y0
-        h00 = self.height[x0, y0]
-        h10 = self.height[x0 + 1, y0]
-        h01 = self.height[x0, y0 + 1]
-        h11 = self.height[x0 + 1, y0 + 1]
+        h00, h10, h01, h11, tx, ty = self._corners(xy)
+        if self.wall_thresh > 0.0:
+            thr, w = self.wall_thresh, self.wall_width
+            dx0, dx1 = h10 - h00, h11 - h01
+            txw0 = _warp_t(tx, dx0, thr, w)
+            txw1 = _warp_t(tx, dx1, thr, w)
+            hx0 = h00 + dx0 * txw0
+            hx1 = h01 + dx1 * txw1
+            dy = hx1 - hx0
+            tyw = _warp_t(ty, dy, thr, w)
+            h = hx0 + dy * tyw
+            dhx0 = dx0 * _warp_t_grad(tx, dx0, thr, w) / hs
+            dhx1 = dx1 * _warp_t_grad(tx, dx1, thr, w) / hs
+            gx = (1 - tyw) * dhx0 + tyw * dhx1
+            gy = dy * _warp_t_grad(ty, dy, thr, w) / hs
+            return h, gx, gy
         h = (
             h00 * (1 - tx) * (1 - ty)
             + h10 * tx * (1 - ty)
@@ -142,20 +192,41 @@ class ContactInfo(NamedTuple):
     term_force: jnp.ndarray    # (nt,) normal force magnitude on proxy spheres
 
 
-def _point_forces(pts, vels, heights, mu, params: ContactParams):
+def _point_forces(pts, vels, heights, mu, params: ContactParams,
+                  grads=None):
     """Penalty normal + regularized Coulomb friction for point contacts.
 
-    pts/vels: (P,3) world positions/velocities; heights: (P,) terrain height.
-    """
-    phi = pts[..., 2] - heights                       # penetration depth (<0)
+    pts/vels: (P,3) world positions/velocities; heights: (P,) terrain
+    height. grads, when given, is (gx, gy) — the local surface gradient:
+    forces then act along the surface normal n = (-gx,-gy,1)/|.| with
+    penetration measured perpendicular to the surface and friction in the
+    tangent plane (what a trimesh collider does — on a vertical-face band
+    the normal is nearly horizontal, so stair risers push feet back
+    instead of lifting them). grads=None is the flat plane: identical math
+    with n = z.
+
+    Returns (force (P,3) world, fn (P,) normal force magnitude)."""
+    phi_z = pts[..., 2] - heights                     # vertical gap (<0 pen)
+    if grads is None:
+        pen = phi_z < 0.0
+        fn = jnp.maximum(
+            0.0, -params.kn * phi_z - params.cn * vels[..., 2]
+        ) * pen
+        vt = vels[..., 0:2]
+        speed = jnp.sqrt(jnp.sum(vt * vt, axis=-1) + params.v_reg**2)
+        ft = -(mu * fn / speed)[..., None] * vt
+        return jnp.concatenate([ft, fn[..., None]], axis=-1), fn
+    gx, gy = grads
+    inv_l = jax.lax.rsqrt(1.0 + gx * gx + gy * gy)
+    n = jnp.stack([-gx * inv_l, -gy * inv_l, inv_l], axis=-1)   # (P,3)
+    phi = phi_z * inv_l                    # distance along the normal
     pen = phi < 0.0
-    fn = jnp.maximum(
-        0.0, -params.kn * phi - params.cn * vels[..., 2]
-    ) * pen
-    vt = vels[..., 0:2]
+    v_n = jnp.sum(vels * n, axis=-1)
+    fn = jnp.maximum(0.0, -params.kn * phi - params.cn * v_n) * pen
+    vt = vels - v_n[..., None] * n
     speed = jnp.sqrt(jnp.sum(vt * vt, axis=-1) + params.v_reg**2)
-    ft = -(mu * fn / speed)[..., None] * vt
-    return jnp.concatenate([ft, fn[..., None]], axis=-1)
+    f = fn[..., None] * n - (mu * fn / speed)[..., None] * vt
+    return f, fn
 
 
 def contact_forces(
@@ -202,13 +273,22 @@ def contact_forces(
     all_pts = jnp.stack(foot_pts + sph_pts)     # (P+nt, 3)
     all_vel = jnp.stack(foot_vels + sph_vels)
 
-    # ONE batched terrain sample for every contact point (flat: constant 0)
-    heights = terrain.sample(all_pts[..., 0:2])
-    all_f = _point_forces(all_pts, all_vel, heights, mu, params)
+    # ONE batched terrain sample for every contact point (flat: constant 0).
+    # Non-flat terrain also yields the local surface gradient, so forces
+    # act along the surface normal (wall-aware on trimesh-mode terrain).
+    if terrain.flat:
+        heights = terrain.sample(all_pts[..., 0:2])
+        grads = None
+    else:
+        heights, gxs, gys = terrain.sample_with_grad(all_pts[..., 0:2])
+        grads = (gxs, gys)
+    all_f, all_fn = _point_forces(
+        all_pts, all_vel, heights, mu, params, grads=grads
+    )
 
     nP = len(pt_body_np)
     f = all_f[:nP]
-    tf = all_f[nP:]
+    term_fn = all_fn[nP:]
 
     # map point forces to generalized forces: tau = sum_k Jp_k^T f_k.
     # Plücker structure: spatial force at A is [ (x-A) x f ; f ], projected
@@ -235,5 +315,5 @@ def contact_forces(
     return ContactInfo(
         tau_gen=jnp.concatenate([tau_base, tau_j]),
         point_forces=f,
-        term_force=tf[..., 2],
+        term_force=term_fn,
     )

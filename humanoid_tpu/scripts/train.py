@@ -24,7 +24,7 @@ def get_args(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--load-run", "--load_run", dest="load_run", default="-1")
     p.add_argument("--checkpoint", type=int, default=-1)
-    p.add_argument("--terrain", choices=["plane", "heightfield"])
+    p.add_argument("--terrain", choices=["plane", "heightfield", "trimesh"])
     p.add_argument("--log-root", dest="log_root")
     p.add_argument("--profile", type=int, default=0, metavar="N",
                    help="capture an XLA device trace of N iterations "
@@ -76,12 +76,17 @@ def train(args) -> None:
         print(f"resuming from {path}")
         runner.load(path)
 
+    # process 0 owns all side effects (logging, eval gate, console);
+    # runner.save() is itself process-0-guarded (parallel/dist.py)
+    from ..parallel.dist import is_main
+
+    main = is_main()
     logger = TrainLogger(
         runner.log_dir, env.reward_names, env_cfg, train_cfg,
         use_wandb=getattr(args, "wandb", False),
-    )
+    ) if main else None
     gate = None
-    if getattr(args, "eval_gate", None) and runner.log_dir:
+    if getattr(args, "eval_gate", None) and runner.log_dir and main:
         from ..deploy.eval_gate import CheckpointEvalGate
 
         gate = CheckpointEvalGate(
@@ -95,8 +100,11 @@ def train(args) -> None:
         if it % train_cfg.runner.log_interval == 0:
             print(logger.console(it, total, scalars), flush=True)
 
-    print(f"task={args.task} envs={env_cfg.env.num_envs} "
-          f"iters={total} log_dir={runner.log_dir}")
+    if not main:
+        log_fn = None
+    if main:
+        print(f"task={args.task} envs={env_cfg.env.num_envs} "
+              f"iters={total} log_dir={runner.log_dir}")
     carry = None
     if getattr(args, "mesh", False):
         from ..parallel.mesh import make_mesh, shard_env_pytree
@@ -104,7 +112,11 @@ def train(args) -> None:
         mesh = make_mesh()
         carry = runner.init_carry(init_at_random_ep_len=True)
         carry = shard_env_pytree(carry, mesh, env_cfg.env.num_envs)
-        print(f"env axis sharded over {mesh.devices.size} devices")
+        if main:
+            from ..parallel.dist import process_count
+
+            print(f"env axis sharded over {mesh.devices.size} devices "
+                  f"({process_count()} process(es))")
     try:
         if args.profile:
             # warm up (compile) outside the trace, then capture N iters
@@ -127,7 +139,8 @@ def train(args) -> None:
             n_pass = sum(1 for r in gate.results if r.get("passed"))
             print(f"[eval-gate] {n_pass}/{len(gate.results)} checkpoints "
                   f"passed ({runner.log_dir}/eval_gate.jsonl)")
-        logger.close()
+        if logger is not None:
+            logger.close()
 
 
 if __name__ == "__main__":
