@@ -14,11 +14,26 @@ import jax
 
 
 def save_checkpoint(path: str, payload) -> None:
+    """Write one checkpoint. Multi-host: the runner guards this to process
+    0 and the payload is host-local numpy (replicated params pulled off
+    device), so orbax must NOT run its cross-process barriers — a default
+    StandardCheckpointer deadlocks waiting for processes that never call
+    save. Restrict it to the calling process instead."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, payload, force=True)
+    if jax.process_count() > 1:
+        ckptr = ocp.AsyncCheckpointer(
+            ocp.StandardCheckpointHandler(),
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                active_processes={jax.process_index()},
+                primary_host=jax.process_index(),
+            ),
+        )
+        ckptr.save(path, args=ocp.args.StandardSave(payload), force=True)
+    else:
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
 
 
