@@ -57,7 +57,9 @@ class CheckpointEvalGate:
         env.setdefault("MUJOCO_GL", "disable")
         argv = [sys.executable, "-m", "humanoid_tpu.deploy.sim2sim",
                 "--load-model", npz, "--duration", str(self.duration),
-                "--cmd", *map(str, self.cmd)]
+                "--cmd", *map(str, self.cmd),
+                "--plot",
+                os.path.join(self.log_dir, f"gate_dashboard_{iteration}.png")]
         if self.task:
             argv += ["--task", self.task]
         proc = subprocess.Popen(

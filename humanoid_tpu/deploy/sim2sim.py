@@ -134,6 +134,7 @@ def run_mujoco(
     heading_hold: bool = False,
     video_path: Optional[str] = None,
     video_fps: float = 30.0,
+    plot_path: Optional[str] = None,
 ):
     """Replay `policy` (maps (1, frame_stack*K) obs -> (nj,) action).
 
@@ -180,6 +181,21 @@ def run_mujoco(
     states = []
     count_lowlevel = 0
     time_standing = 0
+    # live joint-tracking / velocity / contact dashboard during the replay
+    # (reference sim2sim.py:108-133, 240-254 plots these on-screen; we
+    # accumulate at the 100 Hz policy rate and render a PNG at the end)
+    eval_logger = None
+    foot_geoms = {}
+    if plot_path is not None:
+        from ..utils.eval_logger import EvalLogger
+
+        eval_logger = EvalLogger(dt=cfg.dt * cfg.decimation)
+        for g in range(model.ngeom):
+            bname = mujoco.mj_id2name(
+                model, mujoco.mjtObj.mjOBJ_BODY, model.geom_bodyid[g]
+            ) or ""
+            if "ankle_roll" in bname or "foot" in bname:
+                foot_geoms[g] = 0 if "left" in bname else 1
     for step in range(n_steps):
         q = data.qpos[-nj:].astype(np.float64)
         dq = data.qvel[-nj:].astype(np.float64)
@@ -246,6 +262,39 @@ def run_mujoco(
             states.append(
                 np.concatenate([data.qpos.copy(), data.qvel.copy()])
             )
+        if eval_logger is not None and count_lowlevel % cfg.decimation == 0:
+            fz = np.zeros(2)
+            for ci in range(data.ncon):
+                c = data.contact[ci]
+                side = foot_geoms.get(c.geom1, foot_geoms.get(c.geom2))
+                if side is not None:
+                    f6 = np.zeros(6)
+                    mujoco.mj_contactForce(model, data, ci, f6)
+                    fz[side] += abs((f6[0] * c.frame[0:3])[2])
+            # free joint: qvel[0:3] world linear, qvel[3:6] body angular
+            w, x, y, z = data.qpos[3:7]
+            R = np.array([
+                [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+                [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+                [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+            ])
+            v_base = R.T @ data.qvel[0:3]
+            eval_logger.log_states({
+                "dof_pos": data.qpos[-nj:].copy(),
+                "dof_pos_target": target_q.copy(),
+                "dof_vel": data.qvel[-nj:].copy(),
+                "dof_torque": tau.copy(),
+                "base_vel_x": v_base[0],
+                "base_vel_y": v_base[1],
+                "base_vel_z": v_base[2],
+                "base_vel_yaw": data.qvel[5],
+                "command_x": cmd[0],
+                "command_y": cmd[1],
+                "command_yaw": cmd[2],
+                "contact_forces_z_0": fz[0],
+                "contact_forces_z_1": fz[1],
+                "base_height": base_z,
+            })
         if base_z < cfg.min_base_height or not np.isfinite(data.qpos).all():
             survived = step * cfg.dt
             break
@@ -261,6 +310,10 @@ def run_mujoco(
     }
     if record_states:
         out["states"] = np.array(states)
+    if eval_logger is not None:
+        dashboard = eval_logger.plot_states(plot_path)
+        if dashboard:
+            out["dashboard"] = dashboard
     return out
 
 
@@ -290,6 +343,11 @@ def main(argv=None):
     p.add_argument("--video", nargs="?", const="/tmp/sim2sim.mp4",
                    default=None, metavar="PATH",
                    help="record an offscreen camera-follow mp4")
+    p.add_argument("--plot", nargs="?", const="/tmp/sim2sim_dashboard.png",
+                   default=None, metavar="PATH",
+                   help="render the 3x3 joint-tracking/velocity/contact "
+                        "dashboard PNG from the replay (reference "
+                        "sim2sim.py live plots, headless)")
     args = p.parse_args(argv)
 
     from ..assets import XBOT_MJCF, XBOT_MJCF_TERRAIN, prepare_mujoco_xml
@@ -321,6 +379,7 @@ def main(argv=None):
         policy, cfg, command=tuple(args.cmd),
         command_source=command_source, sw_switch=args.sw_switch,
         heading_hold=args.heading_hold, video_path=args.video,
+        plot_path=args.plot,
     )
     print(metrics)
     return metrics

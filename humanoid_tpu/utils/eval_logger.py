@@ -58,7 +58,10 @@ class EvalLogger:
         def plot(ax, keys, title, ylabel):
             for key, label in keys:
                 if key in log and len(log[key]):
-                    ax.plot(time[: len(log[key])], log[key], label=label)
+                    # multi-dof series: one legend entry per key, not per
+                    # line (12 joints would flood the legend)
+                    lines = ax.plot(time[: len(log[key])], log[key])
+                    lines[0].set_label(label)
             ax.set(title=title, xlabel="time [s]", ylabel=ylabel)
             ax.legend(fontsize=7)
 

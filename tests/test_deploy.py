@@ -55,6 +55,24 @@ def test_sim2sim_harness_runs():
     assert np.isfinite(m["distance_m"])
 
 
+def test_sim2sim_dashboard_png(tmp_path):
+    """--plot renders the 3x3 joint-tracking/velocity/contact dashboard
+    from the replay (reference sim2sim.py:108-133,240-254 live plots)."""
+    mujoco = pytest.importorskip("mujoco")
+    pytest.importorskip("matplotlib")
+    from humanoid_tpu.deploy.onnx_loader import load_onnx_mlp
+    from humanoid_tpu.deploy.sim2sim import Sim2simCfg, run_mujoco
+
+    policy = load_onnx_mlp(ONNX_PATH)
+    png = str(tmp_path / "dash.png")
+    m = run_mujoco(policy, Sim2simCfg(sim_duration=0.5),
+                   command=(0.3, 0.0, 0.0), plot_path=png)
+    assert m.get("dashboard") == png
+    import os
+
+    assert os.path.getsize(png) > 10_000
+
+
 def test_sim2sim_obs_assembly_matches_env():
     """The harness's 47-dim obs layout equals the env's (the sim2sim premise:
     independently assembled obs agree, SURVEY.md §3.3)."""
