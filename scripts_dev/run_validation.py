@@ -1,0 +1,149 @@
+"""Produce the committed validation artifacts under /root/repo/validation/
+(VERDICT r1 next #4: every README headline number traceable to a committed
+artifact).
+
+Runs, sequentially on the real TPU chip:
+  ab_bf16      flagship, 800 iters, default numerics (bf16 + granule 8)
+  ab_fp32      flagship, 800 iters, compute_dtype=float32
+  ab_granule1  flagship, 800 iters, shuffle_granule=1
+  flagship     humanoid_ppo, 3001 iters, sim2sim eval gate per checkpoint
+  d11          d11_ppo, 3001 iters
+
+Artifacts copied per run: metrics.jsonl (reward/loss/fps per iteration),
+eval_gate.jsonl + final gate dashboard PNG (gated runs), summary.json.
+
+Usage:  python scripts_dev/run_validation.py [--quick] [--only TAG]
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+VAL_ROOT = "/root/repo/validation"
+LOG_ROOT = "/tmp/validation_runs"
+
+
+def run_one(tag: str, task: str, iters: int, train_mut=None,
+            gate_s: float | None = None) -> dict:
+    from humanoid_tpu.deploy.eval_gate import CheckpointEvalGate
+    from humanoid_tpu.utils import registry
+    from humanoid_tpu.utils.logging import TrainLogger
+
+    print(f"=== {tag}: task={task} iters={iters} ===", flush=True)
+    env, env_cfg = registry.make_env(task)
+    _, tcfg = registry.get_cfgs(task)
+    if train_mut is not None:
+        tcfg = train_mut(tcfg)
+    runner, tcfg = registry.make_alg_runner(
+        env, task, log_root=os.path.join(LOG_ROOT, tag), train_cfg=tcfg
+    )
+    logger = TrainLogger(runner.log_dir, env.reward_names, env_cfg, tcfg)
+    gate = None
+    if gate_s:
+        gate = CheckpointEvalGate(runner.log_dir, duration=gate_s, task=task)
+        runner.on_checkpoint = gate
+
+    def log_fn(it, m, fps, dt):
+        s = logger.log(it, m, fps, dt)
+        if it % 100 == 0:
+            print(f"[{tag}] it {it}/{iters} "
+                  f"rew {s['Train/mean_reward']:.3f} fps {fps:,.0f}",
+                  flush=True)
+
+    t0 = time.time()
+    runner.learn(iters, init_at_random_ep_len=True, log_fn=log_fn)
+    wall = time.time() - t0
+    if gate is not None:
+        gate.wait_all(timeout=1200)
+    logger.close()
+
+    out_dir = os.path.join(VAL_ROOT, tag)
+    os.makedirs(out_dir, exist_ok=True)
+    for f in ("metrics.jsonl", "eval_gate.jsonl"):
+        p = os.path.join(runner.log_dir, f)
+        if os.path.exists(p):
+            shutil.copy(p, out_dir)
+    dashboards = sorted(
+        (f for f in os.listdir(runner.log_dir)
+         if f.startswith("gate_dashboard")),
+        key=lambda f: int(f.split("_")[-1].split(".")[0]),
+    )
+    if dashboards:
+        shutil.copy(os.path.join(runner.log_dir, dashboards[-1]),
+                    os.path.join(out_dir, "gate_dashboard_final.png"))
+    import jax
+
+    last = None
+    with open(os.path.join(runner.log_dir, "metrics.jsonl")) as f:
+        for line in f:
+            last = json.loads(line)
+    summary = {
+        "tag": tag,
+        "task": task,
+        "iterations": iters,
+        "wall_s": round(wall, 1),
+        "backend": jax.default_backend(),
+        "num_envs": env_cfg.env.num_envs,
+        "steps_per_env": tcfg.runner.num_steps_per_env,
+        "env_steps_per_s": round(
+            iters * tcfg.runner.num_steps_per_env * env_cfg.env.num_envs
+            / wall
+        ),
+        "final_mean_reward": last.get("Train/mean_reward") if last else None,
+        "final_mean_ep_len": last.get("Train/mean_episode_length") if last else None,
+        "compute_dtype": tcfg.policy.compute_dtype,
+        "shuffle_granule": tcfg.algorithm.shuffle_granule,
+        "seed": tcfg.seed,
+        "run_dir": runner.log_dir,
+    }
+    if gate is not None:
+        n_pass = sum(1 for r in gate.results if r.get("passed"))
+        summary["gate_passed"] = n_pass
+        summary["gate_total"] = len(gate.results)
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(f"[{tag}] done: {summary}", flush=True)
+    return summary
+
+
+def main() -> None:
+    quick = "--quick" in sys.argv
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1]
+    ab_iters = 50 if quick else 800
+    full_iters = 50 if quick else 3001
+
+    def fp32(t):
+        return t.replace(
+            policy=dataclasses.replace(t.policy, compute_dtype="float32")
+        )
+
+    def granule1(t):
+        return t.replace(
+            algorithm=dataclasses.replace(t.algorithm, shuffle_granule=1)
+        )
+
+    agenda = [
+        ("ab_bf16", "humanoid_ppo", ab_iters, None, None),
+        ("ab_fp32", "humanoid_ppo", ab_iters, fp32, None),
+        ("ab_granule1", "humanoid_ppo", ab_iters, granule1, None),
+        ("flagship", "humanoid_ppo", full_iters, None, 20.0),
+        ("d11", "d11_ppo", full_iters, None, None),
+    ]
+    results = []
+    for tag, task, iters, mut, gate_s in agenda:
+        if only and tag != only:
+            continue
+        results.append(run_one(tag, task, iters, mut, gate_s))
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()
