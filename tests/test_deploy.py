@@ -83,6 +83,71 @@ def test_sim2sim_obs_assembly_matches_env():
     assert 5 + 3 * cfg.num_actions + 6 == cfg.num_single_obs
 
 
+def test_sim2sim_obs_values_match_env():
+    """VALUE-level parity: rebuilding the single obs frame from the raw
+    physical state with sim2sim's conventions (scales, frames, ordering,
+    phase clock) reproduces the env's own obs — catches sign/frame errors
+    the structural check cannot (e.g. world- vs body-frame angular
+    velocity, euler conventions)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from humanoid_tpu.config.structs import DomainRandCfg, NoiseCfg, XBotLCfg
+    from humanoid_tpu.deploy.sim2sim import Sim2simCfg, _quat_to_euler
+    from humanoid_tpu.env import XBotLEnv
+    from humanoid_tpu.physics.spatial import quat_rotate_inverse
+
+    cfg = XBotLCfg()
+    cfg = cfg.replace(
+        env=dataclasses.replace(cfg.env, num_envs=1),
+        noise=NoiseCfg(add_noise=False),
+        domain_rand=DomainRandCfg(
+            randomize_friction=False, randomize_base_mass=False,
+            push_robots=False, dynamic_randomization=0.0, action_delay=False,
+        ),
+    )
+    env = XBotLEnv(cfg)
+    scfg = Sim2simCfg()
+    key = jax.random.PRNGKey(0)
+    state = env.initial_state(key)
+    step = jax.jit(env.step)
+    for i in range(7):
+        key, ka, ks = jax.random.split(key, 3)
+        a = 0.2 * jax.random.normal(ka, (1, 12))
+        state, out = step(state, a, ks)
+    K = cfg.env.num_single_obs
+    env_frame = np.asarray(out.obs)[0, -K:]
+
+    # --- sim2sim-style reassembly from the raw state -------------------
+    phys = state.phys
+    nj = 12
+    q = np.asarray(phys.qj[0])
+    dq = np.asarray(phys.u[0, 6:])
+    quat = np.asarray(phys.base_quat[0])              # wxyz, ours == mujoco
+    omega_body = np.asarray(
+        quat_rotate_inverse(phys.base_quat[0], phys.u[0, 0:3])
+    )
+    eu = _quat_to_euler(quat)
+    eu[eu > np.pi] -= 2 * np.pi
+    cmd = np.asarray(state.commands[0, 0:3])
+    phase = float(state.episode_length[0]) * env.dt / scfg.cycle_time
+    obs = np.zeros(K, dtype=np.float32)
+    obs[0] = np.sin(2 * np.pi * phase)
+    obs[1] = np.cos(2 * np.pi * phase)
+    obs[2] = cmd[0] * scfg.obs_scale_lin_vel
+    obs[3] = cmd[1] * scfg.obs_scale_lin_vel
+    obs[4] = cmd[2] * scfg.obs_scale_ang_vel
+    obs[5 : 5 + nj] = (q - np.asarray(scfg.default_pos)) * scfg.obs_scale_dof_pos
+    obs[5 + nj : 5 + 2 * nj] = dq * scfg.obs_scale_dof_vel
+    obs[5 + 2 * nj : 5 + 3 * nj] = np.asarray(state.actions[0])
+    obs[5 + 3 * nj : 8 + 3 * nj] = omega_body
+    obs[8 + 3 * nj : 11 + 3 * nj] = eu
+    obs = np.clip(obs, -scfg.clip_observations, scfg.clip_observations)
+    np.testing.assert_allclose(obs, env_frame, atol=2e-5)
+
+
 def test_symmetry_matrices():
     obs_p, act_p = xbot_perm_matrices()
     assert obs_p.shape == (705, 705) and act_p.shape == (12, 12)
