@@ -305,12 +305,14 @@ class OnPolicyRunner:
             if self.log_dir and save_every and self.iteration % save_every == 0:
                 jax.block_until_ready(carry.train_state.params)
                 self.save()
+                self._maybe_save_state(carry)
                 saved_at = self.iteration
         if pending is not None and log_fn is not None:
             flush(pending)
         jax.block_until_ready(carry.train_state.params)
         if self.log_dir and saved_at != self.iteration:
             self.save()
+            self._maybe_save_state(carry)
         return carry
 
     # ------------------------------------------------------------------
@@ -341,6 +343,61 @@ class OnPolicyRunner:
             if self.on_checkpoint is not None:
                 self.on_checkpoint(self, path, self.iteration)
         return path
+
+    def _maybe_save_state(self, carry: IterationCarry) -> None:
+        # getattr: RunnerCfg instances may predate this field (e.g. configs
+        # restored from older runs)
+        if getattr(self.cfg.runner, "save_env_state", False):
+            self.save_state(carry)
+
+    def save_state(self, carry: IterationCarry, path: Optional[str] = None) -> str:
+        """Exact-state checkpoint: the FULL iteration carry (env state incl.
+        curricula/obs-history/PRNG key, plus train state), so resume
+        continues the run bitwise instead of re-initializing envs. Superset
+        of the reference, which persists model+optimizer only
+        (on_policy_runner.py:293-302) and restarts every episode on resume.
+
+        Leaves are stored as a flat index->array dict (the carry's treedef
+        is reconstructed from a template on load), which keeps orbax to
+        plain-dict payloads. Multi-process runs skip it: the env axis is
+        sharded, so no single host holds the full carry."""
+        import os
+
+        from ..parallel.dist import is_main
+        from ..utils.checkpoint import save_checkpoint
+
+        path = path or os.path.join(self.log_dir, f"state_{self.iteration}")
+        if jax.process_count() > 1:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "save_env_state skipped: exact-state checkpoints are "
+                "single-process only (env axis is sharded across hosts)"
+            )
+            return path
+        leaves = jax.tree.flatten(carry)[0]
+        payload = {str(i): leaf for i, leaf in enumerate(leaves)}
+        payload["iteration"] = jnp.asarray(self.iteration)
+        if is_main():
+            save_checkpoint(path, jax.device_get(payload))
+        return path
+
+    def load_state(self, path: str, template: IterationCarry) -> IterationCarry:
+        """Restore an exact-state checkpoint into the structure of
+        `template` (any carry from init_carry()). Also syncs the runner's
+        train_state and iteration counter."""
+        from ..utils.checkpoint import load_checkpoint
+
+        leaves, treedef = jax.tree.flatten(template)
+        tmpl = {str(i): leaf for i, leaf in enumerate(leaves)}
+        tmpl["iteration"] = jnp.asarray(0)
+        restored = load_checkpoint(path, tmpl)
+        self.iteration = int(restored.pop("iteration"))
+        carry = jax.tree.unflatten(
+            treedef, [restored[str(i)] for i in range(len(leaves))]
+        )
+        self.train_state = carry.train_state
+        return carry
 
     def load(self, path: str, load_optimizer: bool = True) -> None:
         from ..utils.checkpoint import load_checkpoint

@@ -401,6 +401,13 @@ class RunnerCfg:
     # marshalling, so batching amortizes it (metrics still logged per
     # iteration; checkpoints never split a dispatch)
     iters_per_dispatch: int = 10
+    # exact-state checkpointing (superset of the reference: on_policy_runner
+    # .py:293-310 saves model+optimizer only, so --resume restarts every
+    # env and loses curriculum/episode/RNG state). When on, each model_<it>
+    # checkpoint gets a sibling state_<it> holding the full iteration carry
+    # (env state incl. curricula, obs history, PRNG key), and --resume
+    # continues the run bitwise-identically (tests/test_checkpoint_state.py)
+    save_env_state: bool = False
 
 
 def d11_cfg() -> XBotLCfg:

@@ -41,6 +41,11 @@ def get_args(argv=None):
                    help="run the MuJoCo sim2sim gate on every checkpoint "
                         "in an async CPU subprocess (BASELINE config 4); "
                         "optional arg = gate duration in sim seconds")
+    p.add_argument("--full-state", dest="full_state", action="store_true",
+                   help="checkpoint the FULL iteration carry (env/curricula/"
+                        "RNG state) next to each model_<it> so --resume "
+                        "continues the run bitwise-identically instead of "
+                        "re-initializing envs (single-process only)")
     p.add_argument("--wandb", action="store_true",
                    help="mirror metrics to wandb (offline mode, syncing "
                         "tensorboard like the reference, "
@@ -67,14 +72,33 @@ def train(args) -> None:
     runner, train_cfg = registry.make_alg_runner(
         env, args.task, args, log_root=args.log_root
     )
+    if getattr(args, "full_state", False):
+        import dataclasses
+
+        runner.cfg = runner.cfg.replace(
+            runner=dataclasses.replace(runner.cfg.runner, save_env_state=True)
+        )
+    resume_carry = None
     if args.resume:
         root = os.path.join(
             args.log_root or registry.LOG_ROOT,
             train_cfg.runner.experiment_name,
         )
         path = get_load_path(root, args.load_run, args.checkpoint)
-        print(f"resuming from {path}")
-        runner.load(path)
+        state_path = os.path.join(
+            os.path.dirname(path),
+            os.path.basename(path).replace("model_", "state_"),
+        )
+        if os.path.isdir(state_path):
+            # exact-state resume: restore the full carry (env/curricula/
+            # RNG) so the run continues where it stopped
+            print(f"resuming exact state from {state_path}")
+            resume_carry = runner.load_state(
+                state_path, runner.init_carry(init_at_random_ep_len=True)
+            )
+        else:
+            print(f"resuming from {path}")
+            runner.load(path)
 
     # process 0 owns all side effects (logging, eval gate, console);
     # runner.save() is itself process-0-guarded (parallel/dist.py)
@@ -105,12 +129,13 @@ def train(args) -> None:
     if main:
         print(f"task={args.task} envs={env_cfg.env.num_envs} "
               f"iters={total} log_dir={runner.log_dir}")
-    carry = None
+    carry = resume_carry
     if getattr(args, "mesh", False):
         from ..parallel.mesh import make_mesh, shard_env_pytree
 
         mesh = make_mesh()
-        carry = runner.init_carry(init_at_random_ep_len=True)
+        if carry is None:
+            carry = runner.init_carry(init_at_random_ep_len=True)
         carry = shard_env_pytree(carry, mesh, env_cfg.env.num_envs)
         if main:
             from ..parallel.dist import process_count

@@ -13,12 +13,24 @@ from typing import Optional, Tuple
 import jax
 
 
+def _have_orbax() -> bool:
+    try:
+        import orbax.checkpoint  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def save_checkpoint(path: str, payload) -> None:
     """Write one checkpoint. Multi-host: the runner guards this to process
     0 and the payload is host-local numpy (replicated params pulled off
     device), so orbax must NOT run its cross-process barriers — a default
     StandardCheckpointer deadlocks waiting for processes that never call
     save. Restrict it to the calling process instead."""
+    if not _have_orbax():
+        _save_npz(path, payload)
+        return
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
@@ -38,10 +50,41 @@ def save_checkpoint(path: str, payload) -> None:
 
 
 def load_checkpoint(path: str, template):
+    path = os.path.abspath(path)
+    if os.path.isfile(path + ".npz") or not _have_orbax():
+        return _load_npz(path, template)
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(os.path.abspath(path), target=template)
+    return ckptr.restore(path, target=template)
+
+
+def _save_npz(path: str, payload) -> None:
+    """Fallback pytree checkpoint with no orbax dependency: flat
+    '/'-joined key paths -> arrays in one .npz (written atomically)."""
+    import numpy as np
+
+    flat, _ = jax.tree_util.tree_flatten_with_path(payload)
+    arrays = {
+        jax.tree_util.keystr(kp): np.asarray(v) for kp, v in flat
+    }
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **arrays)
+    os.replace(tmp, path + ".npz")
+
+
+def _load_npz(path: str, template):
+    import numpy as np
+
+    with np.load(path + ".npz") as data:
+        flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+        leaves = [
+            np.asarray(data[jax.tree_util.keystr(kp)]).astype(
+                np.asarray(t).dtype
+            )
+            for kp, t in flat
+        ]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 def get_load_path(

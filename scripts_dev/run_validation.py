@@ -136,6 +136,10 @@ def main() -> None:
         ("ab_granule1", "humanoid_ppo", ab_iters, granule1, None),
         ("flagship", "humanoid_ppo", full_iters, None, 20.0),
         ("d11", "d11_ppo", full_iters, None, None),
+        # cross-model robustness run (VALIDATION.md open frontier): extended
+        # DR over the exact axis of the training-model/reference-MJCF delta
+        # (link mass/COM/inertia), gated against the reference MJCF.
+        ("robust", "humanoid_ppo_robust", full_iters, None, 20.0),
     ]
     results = []
     for tag, task, iters, mut, gate_s in agenda:
