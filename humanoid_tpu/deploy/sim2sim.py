@@ -348,6 +348,10 @@ def main(argv=None):
                    help="render the 3x3 joint-tracking/velocity/contact "
                         "dashboard PNG from the replay (reference "
                         "sim2sim.py live plots, headless)")
+    p.add_argument("--native", action="store_true",
+                   help="evaluate the policy through the C++ deployment "
+                        "runtime (native/policy_runtime.cpp) instead of "
+                        "numpy — exercises the exact robot-side code path")
     args = p.parse_args(argv)
 
     from ..assets import XBOT_MJCF, XBOT_MJCF_TERRAIN, prepare_mujoco_xml
@@ -363,7 +367,12 @@ def main(argv=None):
                 XBOT_MJCF_TERRAIN if args.terrain else XBOT_MJCF
             ),
         )
-    policy = NpzPolicy(args.load_model)
+    if args.native:
+        from ..native.policy_native import NativePolicy
+
+        policy = NativePolicy(args.load_model)
+    else:
+        policy = NpzPolicy(args.load_model)
     command_source = None
     if args.joystick:
         from ..scripts.joystick import JoystickController
