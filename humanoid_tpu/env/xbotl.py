@@ -748,7 +748,20 @@ class XBotLEnv:
                 <= ccfg.stand_com_threshold
             )
             low_speed_m = jnp.linalg.norm(base_lin_vel[:, 0:2], axis=1) < 0.3
-            ttss = (ttss + stand_cmd.astype(jnp.float32)) * low_speed_m
+            # timer accumulates on stand command + low speed, and RESETS on
+            # a walk command — the deploy-side semantics the policy will
+            # meet on the robot (sim2sim.py:201-208: vel_norm > threshold
+            # zeroes the counter). The base-class form (legged_robot.py:
+            # 397-398, += stand_cmd then *= low_speed) never resets it
+            # under a walk command while the robot is slow; combined with
+            # our phase freeze that makes standing absorbing: frozen gait
+            # signal -> no steps -> speed stays < 0.3 -> frozen forever
+            # (measured: scripts_dev/robust_bisect.py — every variant with
+            # the stand schedule collapsed to standing, 0.05 m per 20 s
+            # replay under a 0.5 m/s command).
+            ttss = jnp.where(
+                stand_cmd, (ttss + 1.0) * low_speed_m, 0.0
+            )
             # gait-schedule command resampling (legged_robot.py:419-441)
             gks = jax.random.split(k_gaitcmd, len(ccfg.gait))
             double_c = jnp.sum(contact.astype(jnp.float32), axis=1) == 2

@@ -143,6 +143,41 @@ def test_sw_switch_stand_freezes_phase():
     assert np.allclose(last[:, 0], 0.0, atol=0.1), "sin(phase) ~ 0 standing"
 
 
+def test_sw_switch_walk_command_unfreezes_phase():
+    """Regression for the absorbing stand state (scripts_dev/
+    robust_bisect.py): after the stand timer passes static_delay (phase
+    frozen), issuing a walk command must RESET the timer and restart the
+    gait clock even though the robot is still below the 0.3 m/s low-speed
+    threshold — the deploy-side semantics (sim2sim.py:201-208). The old
+    base-class form (legged_robot.py:397-398) kept the timer alive under
+    a walk command while slow, so the gait signal never returned."""
+    env, cfg = make_env(
+        commands=CommandsCfg(
+            sw_switch=True, static_delay=3, gait=("stand",),
+            heading_command=False,
+        ),
+        domain_rand=DomainRandCfg(push_robots=False),
+    )
+    s = env.initial_state(jax.random.PRNGKey(0))
+    s = s._replace(commands=jnp.zeros((N, 4)))
+    step = jax.jit(env.step)
+    for i in range(8):
+        s, _ = step(s, jnp.zeros((N, env.nj)), jax.random.PRNGKey(20 + i))
+        s = s._replace(commands=jnp.zeros((N, 4)))
+    assert np.all(np.asarray(s.time_to_stand_still) > 3)
+    assert np.all(np.asarray(s.phase_length_buf) == 0)
+    # now command 0.5 m/s forward (robot still at ~zero speed)
+    walk = jnp.tile(jnp.array([[0.5, 0.0, 0.0, 0.0]]), (N, 1))
+    s = s._replace(commands=walk)
+    for i in range(3):
+        s, _ = step(s, jnp.zeros((N, env.nj)), jax.random.PRNGKey(40 + i))
+        s = s._replace(commands=walk)
+    assert np.all(np.asarray(s.time_to_stand_still) == 0.0)
+    assert np.all(np.asarray(s.phase_length_buf) >= 3), (
+        "gait clock must restart under a walk command"
+    )
+
+
 def test_gait_time_schedule():
     env, _ = make_env(
         commands=CommandsCfg(
