@@ -7,9 +7,17 @@ actor to a portable .npz and replays it in MuJoCo in an async CPU
 subprocess, so the TPU training loop never blocks; results stream into
 `<log_dir>/eval_gate.jsonl` and the console as they land.
 
-Pass criterion: the policy survives the full gate duration (the
-reference's de facto acceptance test is surviving the replay window,
-SURVEY.md §4.2).
+Pass criterion (VERDICT r2 next #1a — a standing robot under a walk
+command must FAIL):
+  * survives the full gate duration (default 60 s, the reference's
+    acceptance window, sim2sim.py:302);
+  * under a non-zero velocity command, tracks it: mean ground speed
+    >= track_ratio * ||cmd_xy|| (default 0.7x);
+  * ends upright: final base height >= min_final_base_z (default 0.65 m
+    vs the 0.94 m target -- rejects crouched shuffling that survives).
+Replays are deterministic: fixed command, no pushes, no RNG anywhere in
+the sim2sim loop, so a verdict is reproducible bit-for-bit from the
+exported .npz.
 """
 from __future__ import annotations
 
@@ -25,14 +33,34 @@ from typing import List, Optional, Tuple
 class CheckpointEvalGate:
     """Callable checkpoint hook: export -> async MuJoCo replay -> verdict."""
 
-    def __init__(self, log_dir: str, duration: float = 10.0,
+    def __init__(self, log_dir: str, duration: float = 60.0,
                  cmd: Tuple[float, float, float] = (0.5, 0.0, 0.0),
-                 max_concurrent: int = 1, task: str = ""):
+                 max_concurrent: int = 4, task: str = "",
+                 track_ratio: float = 0.7, min_final_base_z: float = 0.65,
+                 stand_threshold: float = 0.05):
         self.log_dir = log_dir
         self.duration = duration
         self.cmd = cmd
         self.task = task
         self.max_concurrent = max_concurrent
+        self.track_ratio = track_ratio
+        self.min_final_base_z = min_final_base_z
+        self.stand_threshold = stand_threshold
+        # heading-mode policies (cfg.commands.heading_command, the XBot
+        # default) are trained with wyaw recomputed from the heading error
+        # every step; replaying them with a constant wyaw=0 leaves yaw
+        # drift uncorrected and the robot walks in circles (measured:
+        # 60 s at ~0.4 m/s but 1.5 m net displacement). Mirror the
+        # training command distribution via sim2sim --heading-hold.
+        self.heading_hold = False
+        if task:
+            try:
+                from ..utils.registry import get_cfgs
+
+                env_cfg, _ = get_cfgs(task)
+                self.heading_hold = bool(env_cfg.commands.heading_command)
+            except Exception:
+                pass
         self.jsonl_path = os.path.join(log_dir, "eval_gate.jsonl")
         self._procs: List[Tuple[int, str, subprocess.Popen, float]] = []
         self.results: List[dict] = []
@@ -62,12 +90,41 @@ class CheckpointEvalGate:
                 os.path.join(self.log_dir, f"gate_dashboard_{iteration}.png")]
         if self.task:
             argv += ["--task", self.task]
+        if self.heading_hold:
+            argv += ["--heading-hold"]
         proc = subprocess.Popen(
             argv,
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True, cwd="/root/repo",
         )
         self._procs.append((iteration, npz, proc, time.time()))
+
+    # -- verdict -----------------------------------------------------------
+
+    def verdict(self, metrics: dict) -> dict:
+        """Honest pass criterion: survive + track the command + stay
+        upright. Returns {'passed': bool, 'criterion': str} where the
+        criterion string records which clause decided the verdict."""
+        survived = (
+            metrics.get("survived_s", 0.0) >= self.duration - 1e-6
+        )
+        cmd_speed = (self.cmd[0] ** 2 + self.cmd[1] ** 2) ** 0.5
+        if cmd_speed <= self.stand_threshold:
+            return {"passed": bool(survived),
+                    "criterion": "survive" if survived else "fell"}
+        if not survived:
+            return {"passed": False, "criterion": "fell"}
+        speed = metrics.get(
+            "mean_speed",
+            metrics.get("distance_m", 0.0) / max(self.duration, 1e-6),
+        )
+        need = self.track_ratio * cmd_speed
+        if speed < need:
+            return {"passed": False,
+                    "criterion": f"undertracked {speed:.2f}<{need:.2f} m/s"}
+        if metrics.get("final_base_z", 0.0) < self.min_final_base_z:
+            return {"passed": False, "criterion": "crouched"}
+        return {"passed": True, "criterion": "survive+track+upright"}
 
     # -- bookkeeping -------------------------------------------------------
 
@@ -83,9 +140,7 @@ class CheckpointEvalGate:
             try:
                 metrics = ast.literal_eval(out.strip().splitlines()[-1])
                 rec.update(metrics)
-                rec["passed"] = bool(
-                    metrics.get("survived_s", 0.0) >= self.duration - 1e-6
-                )
+                rec.update(self.verdict(metrics))
             except Exception:
                 rec["passed"] = False
                 rec["error"] = (err or out).strip()[-500:]

@@ -132,6 +132,9 @@ bool load_npz(const char* path, const std::string& prefix,
     uint64_t usize = rd32(&buf[pos + 22]);
     uint16_t nlen = rd16(&buf[pos + 26]);
     uint16_t xlen = rd16(&buf[pos + 28]);
+    // truncated/malformed archive: the filename + extra field must fit
+    // inside the buffer before anything reads past the fixed header
+    if (pos + 30 + (size_t)nlen + (size_t)xlen > (size_t)sz) break;
     std::string name((const char*)&buf[pos + 30], nlen);
     // numpy's zipfile writes ZIP64 placeholders (0xFFFFFFFF) with the real
     // sizes in the 0x0001 extra field: [usize(8) if u==-1][csize(8) if c==-1]

@@ -102,13 +102,17 @@ def get_load_path(
     run = runs[-1] if str(load_run) == "-1" else str(load_run)
     run_dir = os.path.join(root, run)
     if checkpoint == -1:
-        models = [
-            m for m in os.listdir(run_dir)
-            if re.match(r"model_\d+", m)
-        ]
-        if not models:
+        # accept both orbax directories (model_<it>) and the no-orbax npz
+        # fallback (model_<it>.npz); always return the extensionless path
+        # so load_checkpoint's `path + ".npz"` probe resolves either form
+        matches = {}
+        for m in os.listdir(run_dir):
+            g = re.match(r"model_(\d+)(?:\.npz)?$", m)
+            if g:
+                matches[int(g.group(1))] = f"model_{g.group(1)}"
+        if not matches:
             raise FileNotFoundError(f"no checkpoints in {run_dir}")
-        model = max(models, key=lambda m: int(m.split("_")[1]))
+        model = matches[max(matches)]
     else:
         model = f"model_{checkpoint}"
     return os.path.join(run_dir, model)

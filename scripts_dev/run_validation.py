@@ -134,12 +134,12 @@ def main() -> None:
         ("ab_bf16", "humanoid_ppo", ab_iters, None, None),
         ("ab_fp32", "humanoid_ppo", ab_iters, fp32, None),
         ("ab_granule1", "humanoid_ppo", ab_iters, granule1, None),
-        ("flagship", "humanoid_ppo", full_iters, None, 20.0),
-        ("d11", "d11_ppo", full_iters, None, None),
+        ("flagship", "humanoid_ppo", full_iters, None, 60.0),
+        ("d11", "d11_ppo", full_iters, None, 60.0),
         # cross-model robustness run (VALIDATION.md open frontier): extended
         # DR over the exact axis of the training-model/reference-MJCF delta
         # (link mass/COM/inertia), gated against the reference MJCF.
-        ("robust", "humanoid_ppo_robust", full_iters, None, 20.0),
+        ("robust", "humanoid_ppo_robust", full_iters, None, 60.0),
     ]
     results = []
     for tag, task, iters, mut, gate_s in agenda:
