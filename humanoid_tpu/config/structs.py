@@ -82,6 +82,15 @@ class SimCfg:
     # fused Pallas substep kernel on TPU (ops/physics_kernel.py) when the
     # task is eligible (plane terrain, no per-env inertia/gain overrides)
     use_pallas_substep: bool = True
+    # contact model: "penalty" (compliant spring-damper + regularized
+    # Coulomb, contact.py) or "pgs" (constraint-based block-PGS impulse
+    # solve, physics/pgs.py — the per-env QP/PGS contact of SURVEY.md §7,
+    # same class as PhysX TGS / MuJoCo)
+    contact_model: str = "penalty"
+    pgs_iterations: int = 16
+    pgs_erp: float = 0.024
+    pgs_cfm: float = 0.01
+    pgs_slop: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -207,6 +216,11 @@ class RewardsCfg:
     only_positive_rewards: bool = True
     tracking_sigma: float = 5.0
     max_contact_force: float = 700.0
+    # low_speed band edges as fractions of the commanded speed
+    # (humanoid_env.py _reward_low_speed hardcodes 0.5/1.2; exposed so the
+    # transfer-tuned task variants can demand tighter tracking)
+    low_speed_lo: float = 0.5
+    low_speed_hi: float = 1.2
     # reward curriculum on action_smoothness: the runner multiplies the
     # env's course_gain by this every iteration, capped at 20
     # (legged_robot.py:84-85,241; on_policy_runner.py:160-162)

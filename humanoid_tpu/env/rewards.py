@@ -206,8 +206,8 @@ def feet_clearance(c: RewardContext):
 def low_speed(c: RewardContext):
     speed = jnp.abs(c.base_lin_vel[:, 0])
     cmd = jnp.abs(c.commands[:, 0])
-    too_low = speed < 0.5 * cmd
-    too_high = speed > 1.2 * cmd
+    too_low = speed < c.cfg.low_speed_lo * cmd
+    too_high = speed > c.cfg.low_speed_hi * cmd
     desired = ~(too_low | too_high)
     mismatch = jnp.sign(c.base_lin_vel[:, 0]) != jnp.sign(c.commands[:, 0])
     r = jnp.zeros_like(speed)

@@ -136,6 +136,19 @@ class XBotLEnv:
             kn=cfg.sim.contact_kn, cn=cfg.sim.contact_cn,
             v_reg=cfg.sim.contact_v_reg,
         )
+        self.contact_model = cfg.sim.contact_model
+        if self.contact_model == "pgs":
+            from ..physics.pgs import PGSParams
+
+            self.pgs_params = PGSParams(
+                iterations=cfg.sim.pgs_iterations, erp=cfg.sim.pgs_erp,
+                cfm_ratio=cfg.sim.pgs_cfm, slop=cfg.sim.pgs_slop,
+            )
+        elif self.contact_model != "penalty":
+            raise ValueError(
+                f"unknown contact_model {self.contact_model!r} "
+                "(penalty | pgs)"
+            )
 
         self.default_dof_pos = jnp.asarray(cfg.init_state.default_joint_angles)
         self.kp = jnp.asarray(cfg.control.stiffness)
@@ -240,6 +253,10 @@ class XBotLEnv:
                     per_env_gains=self.dof_rand_on,
                     per_env_body=self.body_rand_on,
                     terrain_planes=not self.terrain.flat,
+                    pgs_params=(
+                        self.pgs_params if self.contact_model == "pgs"
+                        else None
+                    ),
                 )
             else:
                 import logging
@@ -704,6 +721,24 @@ class XBotLEnv:
             phys, diag = control_step_pallas_fused(
                 self._control_fn, state.phys, state.masses, state.friction,
                 ktargets, self.nj, tuple(extras),
+            )
+        elif self.contact_model == "pgs":
+            from ..physics.engine import control_step_pgs
+
+            phys, diag = control_step_pgs(
+                self.model,
+                EnvPhysParams(
+                    masses=state.masses, friction=state.friction,
+                    com=state.body_com, inertia=state.body_inertia,
+                ),
+                self.terrain,
+                self.contact_params,
+                self.pgs_params,
+                state.phys,
+                torque_fn,
+                cfg.control.decimation,
+                cfg.sim.dt,
+                freeze_mass_matrix=cfg.sim.freeze_mass_matrix,
             )
         else:
             phys, diag = control_step_batch(

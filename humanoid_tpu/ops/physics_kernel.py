@@ -339,7 +339,8 @@ def _chol_solve(L, invd, rhs, nv):
     return udot
 
 
-def _contact(pos, quat, v_sp, anchors, w_ax, mu, mk, one, planes=None):
+def _contact(pos, quat, v_sp, anchors, w_ax, mu, mk, one, planes=None,
+             pts=None):
     """Compliant plane contact at baked offsets: foot sole corners +
     termination proxy spheres. Returns generalized forces + diagnostics.
 
@@ -347,14 +348,20 @@ def _contact(pos, quat, v_sp, anchors, w_ax, mu, mk, one, planes=None):
     [c0, gx, gy] (lane vectors): ground height at xy is c0 + gx*x + gy*y,
     the tangent plane of the bilinear heightfield at the control step's
     entry position (sampled by the env layer once per control step — the
-    in-kernel heightfield path; None = flat plane z=0)."""
+    in-kernel heightfield path; None = flat plane z=0).
+
+    pts, when given, is [(pt_i, (b, off, foot_i, rad)), ...] — a subset
+    of mk["contact_pts"] with original indices (the PGS path keeps only
+    the termination spheres on this penalty model)."""
     A = pos[0]
     nv = mk["nj"] + 6
     kn, cn, vreg = mk["kn"], mk["cn"], mk["v_reg"]
     tau_gen = [0.0 * one for _ in range(nv)]
     foot_f = [[0.0 * one] * 3 for _ in range(len(mk["foot_bodies"]))]
     term_f = []
-    for pt_i, (b, off, foot_i, rad) in enumerate(mk["contact_pts"]):
+    if pts is None:
+        pts = list(enumerate(mk["contact_pts"]))
+    for pt_i, (b, off, foot_i, rad) in pts:
         o = _qrot(quat[b], [off[0] * one, off[1] * one, off[2] * one])
         p = [pos[b][i] + o[i] for i in range(3)]
         if rad is not None:
@@ -412,6 +419,202 @@ def _contact(pos, quat, v_sp, anchors, w_ax, mu, mk, one, planes=None):
     return tau_gen, foot_f, term_f
 
 
+def _pgs_contact(pos, quat, v_sp, anchors, w_ax, mu, u, tau, C, L, invd,
+                 mk, one, planes=None):
+    """Constraint-based foot contact inside the kernel: the block-PGS
+    impulse solve of physics/pgs.py in scalar-per-lane form.
+
+    Velocity time-stepping: u_free = u + h M^-1 (tau_pd + tau_spheres - C),
+    then per foot point 0 <= lam_n _|_ v_n+ + b + gam lam_n >= 0 with the
+    Coulomb cone on the tangentials, swept by PGS (fori_loop over
+    iterations, contacts unrolled). Termination proxy spheres stay on the
+    penalty model (falls only). Returns (u_plus (nv,), foot_f, term_f)."""
+    nj = mk["nj"]
+    nv = nj + 6
+    dt = mk["dt"]
+    pg = mk["pgs"]
+    A0 = pos[0]
+    zero = 0.0 * one
+
+    foot_pts = [(i, cp) for i, cp in enumerate(mk["contact_pts"])
+                if cp[2] is not None]
+    sph_pts = [(i, cp) for i, cp in enumerate(mk["contact_pts"])
+               if cp[2] is None]
+    tau_sph, _, term_f = _contact(
+        pos, quat, v_sp, anchors, w_ax, mu, mk, one, planes=planes,
+        pts=sph_pts,
+    )
+
+    # free velocity (spatial)
+    rhs = list(tau_sph)
+    for k in range(nj):
+        rhs[6 + k] = rhs[6 + k] + tau[k]
+    rhs = [rhs[i] - C[i] for i in range(nv)]
+    udot_free = _chol_solve(L, invd, rhs, nv)
+    u_free = [u[i] + dt * udot_free[i] for i in range(nv)]
+
+    # per-point kinematics, contact frame, sparse Jacobian rows
+    K = len(foot_pts)
+    R = 3 * K
+    rowsJ = []       # (base6 lane-list, {joint: lane}) per constraint row
+    frames = []      # (n, t1, t2) lane 3-lists per point
+    phi_l = []
+    for pt_i, (b, off, foot_i, rad) in foot_pts:
+        o = _qrot(quat[b], [off[0] * one, off[1] * one, off[2] * one])
+        p = [pos[b][i] + o[i] for i in range(3)]
+        rel = [p[i] - A0[i] for i in range(3)]
+        if planes is None:
+            phi = p[2]
+            n = [zero, zero, one]
+            t1 = [one, zero, zero]
+            t2 = [zero, one, zero]
+        else:
+            c0, gx, gy = planes[pt_i]
+            phi_z = p[2] - (c0 + gx * p[0] + gy * p[1])
+            inv_l = jax.lax.rsqrt(1.0 + gx * gx + gy * gy)
+            n = [-gx * inv_l, -gy * inv_l, inv_l]
+            phi = phi_z * inv_l
+            # branchless tangent basis: a = x-axis where |n_x|<0.9 else y
+            ux = (jnp.abs(n[0]) < 0.9).astype(one.dtype)
+            a = [ux, 1.0 - ux, zero]
+            t1 = _cross(n, a)
+            it1 = jax.lax.rsqrt(
+                t1[0] * t1[0] + t1[1] * t1[1] + t1[2] * t1[2] + 1e-12
+            )
+            t1 = [t1[i] * it1 for i in range(3)]
+            t2 = _cross(n, t1)
+        frames.append((n, t1, t2))
+        phi_l.append(phi)
+        for d in (n, t1, t2):
+            Jw = _cross(rel, d)              # omega part: r x d
+            jd = {}
+            for k in mk["body_anc_joints"][b]:
+                lin_j = _cross(anchors[k], w_ax[k])
+                wxr = _cross(w_ax[k], rel)
+                jd[k] = (
+                    d[0] * (lin_j[0] + wxr[0])
+                    + d[1] * (lin_j[1] + wxr[1])
+                    + d[2] * (lin_j[2] + wxr[2])
+                )
+            rowsJ.append((Jw + list(d), jd))
+
+    # Delassus A = J M^-1 J^T (symmetric; one half-solve per column) and
+    # v_free in contact coordinates
+    Amat = [[None] * R for _ in range(R)]
+    vf = []
+    for c in range(R):
+        Jc6, jdc = rowsJ[c]
+        dense = Jc6 + [jdc.get(k, zero) for k in range(nj)]
+        Wc = _chol_solve(L, invd, dense, nv)
+        for r in range(c + 1):
+            Jr6, jdr = rowsJ[r]
+            s = Jr6[0] * Wc[0]
+            for i in range(1, 6):
+                s = s + Jr6[i] * Wc[i]
+            for k, val in jdr.items():
+                s = s + val * Wc[6 + k]
+            Amat[r][c] = s
+            Amat[c][r] = s
+        s = Jc6[0] * u_free[0]
+        for i in range(1, 6):
+            s = s + Jc6[i] * u_free[i]
+        for k, val in jdc.items():
+            s = s + val * u_free[6 + k]
+        vf.append(s)
+
+    erp, cfm, slop = pg["erp"], pg["cfm"], pg["slop"]
+    bias = [-(erp / dt) * jnp.maximum(-phi_l[k] - slop, 0.0)
+            for k in range(K)]
+    act = [(phi_l[k] < 0.0).astype(one.dtype) for k in range(K)]
+
+    def sweep(_, lam):
+        lam = list(lam)
+        for k in range(K):
+            i0 = 3 * k
+            vrow = []
+            for d in range(3):
+                s = vf[i0 + d] + Amat[i0 + d][0] * lam[0]
+                for c in range(1, R):
+                    s = s + Amat[i0 + d][c] * lam[c]
+                vrow.append(s)
+            Ann = Amat[i0][i0]
+            gam = cfm * Ann
+            ln = lam[i0]
+            ln_new = jnp.maximum(
+                0.0, ln - (vrow[0] + bias[k] + gam * ln) / (Ann + gam)
+            ) * act[k]
+            dln = ln_new - ln
+            vt1 = vrow[1] + Amat[i0 + 1][i0] * dln
+            vt2 = vrow[2] + Amat[i0 + 2][i0] * dln
+            a11 = Amat[i0 + 1][i0 + 1] + gam
+            a22 = Amat[i0 + 2][i0 + 2] + gam
+            a12 = Amat[i0 + 1][i0 + 2]
+            det = a11 * a22 - a12 * a12
+            r1 = vt1 + gam * lam[i0 + 1]
+            r2 = vt2 + gam * lam[i0 + 2]
+            lt1 = lam[i0 + 1] - (a22 * r1 - a12 * r2) / det
+            lt2 = lam[i0 + 2] - (a11 * r2 - a12 * r1) / det
+            tn = jnp.sqrt(lt1 * lt1 + lt2 * lt2 + 1e-12)
+            sc = jnp.minimum(1.0, mu * ln_new / tn) * act[k]
+            lam[i0] = ln_new
+            lam[i0 + 1] = lt1 * sc
+            lam[i0 + 2] = lt2 * sc
+        return tuple(lam)
+
+    lam = jax.lax.fori_loop(
+        0, pg["iters"], sweep, tuple(zero for _ in range(R))
+    )
+
+    # u+ = u_free + M^-1 J^T lam
+    jtl = [zero] * nv
+    for c in range(R):
+        Jc6, jdc = rowsJ[c]
+        for i in range(6):
+            jtl[i] = jtl[i] + Jc6[i] * lam[c]
+        for k, val in jdc.items():
+            jtl[6 + k] = jtl[6 + k] + val * lam[c]
+    du = _chol_solve(L, invd, jtl, nv)
+    u_plus = [u_free[i] + du[i] for i in range(nv)]
+
+    foot_f = [[zero] * 3 for _ in range(len(mk["foot_bodies"]))]
+    for k in range(K):
+        _, (b, off, foot_i, rad) = foot_pts[k]
+        n, t1, t2 = frames[k]
+        for i in range(3):
+            foot_f[foot_i][i] = foot_f[foot_i][i] + (
+                n[i] * lam[3 * k] + t1[i] * lam[3 * k + 1]
+                + t2[i] * lam[3 * k + 2]
+            ) / dt
+    return u_plus, foot_f, term_f
+
+
+def _integrate_from_u(base_pos, base_quat, qj, u, u_plus, mk, one):
+    """Position integration from an impulse-solved velocity: apply the
+    spatial->conventional correction dt*(omega x v) (old-state omega/v,
+    same convention as _integrate), then semi-implicit Euler."""
+    nj = mk["nj"]
+    dt = mk["dt"]
+    corr = _cross(u[0:3], u[3:6])
+    u_new = list(u_plus)
+    for i in range(3):
+        u_new[3 + i] = u_new[3 + i] + dt * corr[i]
+    new_pos = [base_pos[i] + dt * u_new[3 + i] for i in range(3)]
+    om = [u_new[i] * dt for i in range(3)]
+    ang = jnp.sqrt(om[0] * om[0] + om[1] * om[1] + om[2] * om[2])
+    half = 0.5 * ang
+    small = ang < 1e-8
+    kfac = jnp.where(small, 0.5, jnp.sin(half) / jnp.where(small, 1.0, ang))
+    dq = [jnp.cos(half), om[0] * kfac, om[1] * kfac, om[2] * kfac]
+    qn = _qmul(dq, base_quat)
+    nrm = jax.lax.rsqrt(
+        qn[0] * qn[0] + qn[1] * qn[1] + qn[2] * qn[2] + qn[3] * qn[3]
+        + 1e-12
+    )
+    new_quat = [qn[i] * nrm for i in range(4)]
+    new_qj = [qj[k] + dt * u_new[6 + k] for k in range(nj)]
+    return new_pos, new_quat, new_qj, u_new
+
+
 def _integrate(base_pos, base_quat, qj, u, udot_sp, mk, one):
     """Spatial -> conventional base acceleration, semi-implicit Euler,
     quaternion exp-map integration (spatial.py:95-110)."""
@@ -459,6 +662,16 @@ def _substep_core(base_pos, base_quat, qj, u, masses, mu, targets, mk, one,
         L, invd = _crba_chol(S, I_sp, mk, one)
     else:
         L, invd = frozen_chol
+    if mk.get("pgs") is not None:
+        u_plus, foot_f, term_f = _pgs_contact(
+            pos, quat, v_sp, anchors, w_ax, mu, u, tau, C, L, invd, mk,
+            one, planes=planes,
+        )
+        new_pos, new_quat, new_qj, u_new = _integrate_from_u(
+            base_pos, base_quat, qj, u, u_plus, mk, one
+        )
+        diag = (pos, quat, v_sp, foot_f, term_f, tau)
+        return new_pos, new_quat, new_qj, u_new, diag
     tau_gen, foot_f, term_f = _contact(
         pos, quat, v_sp, anchors, w_ax, mu, mk, one, planes=planes
     )
@@ -665,9 +878,12 @@ def _mat_to_quat_np(m):
     return (w / n, x / n, y / n, z / n)
 
 
-def make_model_consts(model, kp, kd, tau_lim, contact_params, dt):
+def make_model_consts(model, kp, kd, tau_lim, contact_params, dt,
+                      pgs_params=None):
     """Bake the static model/config into the python-constant dict the
-    kernel unrolls over."""
+    kernel unrolls over. pgs_params (a physics.pgs.PGSParams), when given,
+    switches the foot contact from the penalty model to the in-kernel
+    block-PGS impulse solve (_pgs_contact)."""
     nj = model.nj
     nb = nj + 1
     anc_m = model.ancestor_matrix()  # (nb, nj)
@@ -721,6 +937,12 @@ def make_model_consts(model, kp, kd, tau_lim, contact_params, dt):
         v_reg=float(contact_params.v_reg),
         dt=float(dt),
         n_term=len(model.term_sphere_body),
+        pgs=None if pgs_params is None else dict(
+            iters=int(pgs_params.iterations),
+            erp=float(pgs_params.erp),
+            cfm=float(pgs_params.cfm_ratio),
+            slop=float(pgs_params.slop),
+        ),
     )
 
 
@@ -840,10 +1062,11 @@ def _feats(per_env_gains, per_env_body, terrain_planes):
 
 def build_substep_fn(model, kp, kd, tau_lim, contact_params, dt, N,
                      per_env_gains=False, per_env_body=False,
-                     terrain_planes=False):
+                     terrain_planes=False, pgs_params=None):
     """Returns substep(state_pack, masses, friction, targets, *extras) ->
     (state_pack, KernelDiag). state_pack: (7+nj+nv, N)."""
-    mk = make_model_consts(model, kp, kd, tau_lim, contact_params, dt)
+    mk = make_model_consts(model, kp, kd, tau_lim, contact_params, dt,
+                           pgs_params=pgs_params)
     nj, nb, nv, n_state, nt, n_feet, n_diag, sub, lb = _shapes(model, mk, N)
     feats = _feats(per_env_gains, per_env_body, terrain_planes)
     kernel = functools.partial(_substep_kernel, mk=mk, feats=feats)
@@ -854,7 +1077,8 @@ def build_substep_fn(model, kp, kd, tau_lim, contact_params, dt, N,
 
 def build_control_fn(model, kp, kd, tau_lim, contact_params, dt, N,
                      decimation, freeze=True, per_env_gains=False,
-                     per_env_body=False, terrain_planes=False):
+                     per_env_body=False, terrain_planes=False,
+                     pgs_params=None):
     """Returns control(state_pack, masses, friction, targets, *extras) ->
     (state_pack, KernelDiag): the full decimated control step as ONE
     Pallas kernel (substep loop on-chip; freeze -> once-per-control-step
@@ -865,7 +1089,8 @@ def build_control_fn(model, kp, kd, tau_lim, contact_params, dt, N,
       per_env_body   -> com (N, 3*nb), symmetric inertia (N, 6*nb)
       terrain_planes -> per-contact-point local plane [c0,gx,gy] (N, 3*P)
     """
-    mk = make_model_consts(model, kp, kd, tau_lim, contact_params, dt)
+    mk = make_model_consts(model, kp, kd, tau_lim, contact_params, dt,
+                           pgs_params=pgs_params)
     nj, nb, nv, n_state, nt, n_feet, n_diag, sub, lb = _shapes(model, mk, N)
     feats = _feats(per_env_gains, per_env_body, terrain_planes)
     kernel = functools.partial(

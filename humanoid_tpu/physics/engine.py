@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from .contact import ContactInfo, ContactParams, Terrain, contact_forces
 from .dynamics import compute_dynamics, forward_accel
 from .model import RobotModel
-from .spatial import quat_integrate
+from .spatial import quat_integrate, quat_rotate
 
 
 class PhysState(NamedTuple):
@@ -342,6 +342,157 @@ def control_step_pallas_fused(
         term_force=diag.term_force,
         tau=diag.tau,
     )
+
+
+@_fp32_matmuls
+def substep_batch_pgs(
+    model: RobotModel,
+    params: EnvPhysParams,
+    terrain: Terrain,
+    contact_params: ContactParams,
+    pgs_params,
+    state: PhysState,
+    tau_j: jnp.ndarray,
+    dt: float,
+    L: Optional[jnp.ndarray] = None,
+) -> Tuple[PhysState, PhysDiag]:
+    """Velocity-stepping substep with the constraint-based (block-PGS)
+    foot contact solve (physics/pgs.py) — the per-env QP/PGS contact of
+    the blueprint (SURVEY.md §7). Termination proxy spheres stay on the
+    penalty model: they only matter during falls, where a smooth force is
+    all the termination check needs.
+
+    L, when given, is the frozen mass-matrix Cholesky factor (see
+    substep_batch_cached); otherwise CRBA + factorization run here."""
+    from ..ops.linalg import apply_spd_batch, factor_spd_batch
+    from .dynamics import assemble_mass_matrix, compute_kinematics_bias
+    from .pgs import foot_contact_set, pgs_solve
+
+    N = tau_j.shape[0]
+    body_pos, body_quat, S, I_sp, v_sp, C = jax.vmap(
+        lambda bp, bq, qj, u, m, c, I: compute_kinematics_bias(
+            model, bp, bq, qj, u, mass=m, com=c, inertia=I
+        )
+    )(
+        state.base_pos, state.base_quat, state.qj, state.u,
+        params.masses, params.com, params.inertia,
+    )
+    if L is None:
+        M = jax.vmap(lambda s, i: assemble_mass_matrix(model, s, i))(S, I_sp)
+        L = factor_spd_batch(M)
+
+    # termination proxy spheres: penalty force (falls only)
+    nt = len(model.term_sphere_body)
+    A0 = body_pos[:, 0]
+    sph_tau = jnp.zeros((N, model.nv), tau_j.dtype)
+    term_fn = jnp.zeros((N, nt), tau_j.dtype)
+    if nt:
+        from .contact import _point_forces
+
+        for i in range(nt):
+            b = int(model.term_sphere_body[i])
+            c = body_pos[:, b] + quat_rotate(
+                body_quat[:, b], jnp.asarray(model.term_sphere_offset[i])
+            )
+            low = c - jnp.array([0.0, 0.0, 1.0]) * model.term_sphere_radius[i]
+            v = v_sp[:, b, 3:6] + jnp.cross(v_sp[:, b, 0:3], low - A0)
+            h = terrain.sample(low[..., 0:2])
+            f, fn = _point_forces(low, v, h, params.friction, contact_params)
+            term_fn = term_fn.at[:, i].set(fn)
+            # generalized force: base wrench + ancestor joint projection
+            n_mom = jnp.cross(low - A0, f)
+            w_j = quat_rotate(
+                body_quat[:, 1:], jnp.asarray(model.joint_axis)
+            )                                               # (N,nj,3)
+            anchor = body_pos[:, 1:] - A0[:, None]
+            lin_j = jnp.cross(anchor, w_j)
+            mask = jnp.asarray(model.ancestor_matrix()[b])       # (nj,)
+            contrib = (
+                jnp.einsum("ni,nji->nj", n_mom, w_j)
+                + jnp.einsum("ni,nji->nj", f, lin_j)
+            ) * mask
+            sph_tau = sph_tau + jnp.concatenate(
+                [n_mom, f, contrib], axis=1
+            )
+
+    tau_gen = (
+        jnp.concatenate([jnp.zeros((N, 6), tau_j.dtype), tau_j], axis=1)
+        + sph_tau
+    )
+    udot_free = apply_spd_batch(L, tau_gen - C)
+    u_free = state.u + dt * udot_free                     # spatial
+
+    pts, vels, phi, n, J = foot_contact_set(
+        model, body_pos, body_quat, v_sp, terrain
+    )
+    u_plus, point_forces = pgs_solve(
+        u_free, L, phi, n, J, params.friction, dt, pgs_params
+    )
+
+    # spatial -> conventional correction on the linear part (same
+    # order/convention as substep_batch)
+    omega = state.u[:, 0:3]
+    v = state.u[:, 3:6]
+    u_new = u_plus.at[:, 3:6].add(dt * jnp.cross(omega, v))
+    new_state = PhysState(
+        base_pos=state.base_pos + dt * u_new[:, 3:6],
+        base_quat=quat_integrate(state.base_quat, u_new[:, 0:3], dt),
+        qj=state.qj + dt * u_new[:, 6:],
+        u=u_new,
+    )
+    n_feet = len(model.foot_bodies)
+    diag = PhysDiag(
+        body_pos=body_pos,
+        body_quat=body_quat,
+        body_omega=v_sp[:, :, 0:3],
+        foot_forces=point_forces.reshape(N, n_feet, -1, 3).sum(axis=2),
+        term_force=term_fn,
+        tau=tau_j,
+    )
+    return new_state, diag
+
+
+@_fp32_matmuls
+def control_step_pgs(
+    model: RobotModel,
+    params: EnvPhysParams,
+    terrain: Terrain,
+    contact_params: ContactParams,
+    pgs_params,
+    state: PhysState,
+    torque_fn: Callable[[PhysState], jnp.ndarray],
+    decimation: int,
+    dt: float,
+    freeze_mass_matrix: bool = True,
+) -> Tuple[PhysState, PhysDiag]:
+    """Batched decimated control step on the PGS contact path."""
+    L = None
+    if freeze_mass_matrix:
+        from ..ops.linalg import factor_spd_batch
+        from .dynamics import assemble_mass_matrix, compute_kinematics_bias
+
+        _, _, S, I_sp, _, _ = jax.vmap(
+            lambda bp, bq, qj, u, m, c, I: compute_kinematics_bias(
+                model, bp, bq, qj, u, mass=m, com=c, inertia=I
+            )
+        )(
+            state.base_pos, state.base_quat, state.qj, state.u,
+            params.masses, params.com, params.inertia,
+        )
+        M = jax.vmap(lambda s, i: assemble_mass_matrix(model, s, i))(S, I_sp)
+        L = factor_spd_batch(M)
+
+    def body(s, _):
+        tau = torque_fn(s)
+        s2, diag = substep_batch_pgs(
+            model, params, terrain, contact_params, pgs_params, s, tau,
+            dt, L=L,
+        )
+        return s2, diag
+
+    state, diags = jax.lax.scan(body, state, None, length=decimation)
+    last = jax.tree.map(lambda x: x[-1], diags)
+    return state, last
 
 
 @_fp32_matmuls

@@ -25,6 +25,10 @@ def get_args(argv=None):
     p.add_argument("--load-run", "--load_run", dest="load_run", default="-1")
     p.add_argument("--checkpoint", type=int, default=-1)
     p.add_argument("--terrain", choices=["plane", "heightfield", "trimesh"])
+    p.add_argument("--contact", choices=["penalty", "pgs"],
+                   help="contact model override: compliant penalty "
+                        "(default) or the constraint-based block-PGS "
+                        "solve (physics/pgs.py)")
     p.add_argument("--log-root", dest="log_root")
     p.add_argument("--profile", type=int, default=0, metavar="N",
                    help="capture an XLA device trace of N iterations "
@@ -36,7 +40,7 @@ def get_args(argv=None):
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() first so "
                         "jax.devices() spans all hosts (use with --mesh)")
-    p.add_argument("--eval-gate", dest="eval_gate", nargs="?", const=10.0,
+    p.add_argument("--eval-gate", dest="eval_gate", nargs="?", const=60.0,
                    type=float, default=None, metavar="SECONDS",
                    help="run the MuJoCo sim2sim gate on every checkpoint "
                         "in an async CPU subprocess (BASELINE config 4); "
@@ -89,7 +93,7 @@ def train(args) -> None:
             os.path.dirname(path),
             os.path.basename(path).replace("model_", "state_"),
         )
-        if os.path.isdir(state_path):
+        if os.path.isdir(state_path) or os.path.isfile(state_path + ".npz"):
             # exact-state resume: restore the full carry (env/curricula/
             # RNG) so the run continues where it stopped
             print(f"resuming exact state from {state_path}")

@@ -70,6 +70,12 @@ def update_cfg_from_args(env_cfg: XBotLCfg, train_cfg: XBotLCfgPPO, args):
                 env_cfg.terrain, mesh_type=args.terrain
             )
         )
+    if getattr(args, "contact", None):
+        env_cfg = env_cfg.replace(
+            sim=dataclasses.replace(
+                env_cfg.sim, contact_model=args.contact
+            )
+        )
     return env_cfg, train_cfg
 
 
@@ -174,6 +180,18 @@ def _register_builtin():
         ),
         XBotLCfgPPO(),
     )
+    # flagship task on the constraint-based (block-PGS) contact solve —
+    # the A/B against the penalty contact model (physics/pgs.py;
+    # VERDICT r2 next #2: does constraint contact remove the 3-6x
+    # body-weight impact spikes and the bouncy converged gait?)
+    from ..config.structs import SimCfg
+
+    register(
+        "humanoid_ppo_pgs",
+        XBotLEnv,
+        XBotLCfg(sim=SimCfg(contact_model="pgs")),
+        XBotLCfgPPO(),
+    )
     # the extended-features task: XBot-L with the full extended
     # domain-randomization set, action-lag, stand/walk gait switching and
     # the command curriculum (the generic legged layer's feature surface,
@@ -201,6 +219,36 @@ def _register_builtin():
                       "walk_omnidirectional"),
             ),
             rewards=RewardsCfg(course_ratio=1.001),
+        ),
+        XBotLCfgPPO(),
+    )
+    # the SHIPPING transfer recipe (round-3 headline): constraint-based
+    # contact + the extended DR set spanning the measured ~10% training-
+    # model/reference-MJCF inertia delta + tracking-biased rewards
+    # (tracking_lin_vel 1.2->2.4, low_speed floor 0.5->0.7 of command) so
+    # the converged gait walks AT the commanded speed — the honest 60 s
+    # eval gate requires mean speed >= 0.7x command on the reference MJCF
+    from ..config.structs import RewardScalesCfg
+
+    register(
+        "humanoid_ppo_transfer",
+        XBotLEnv,
+        XBotLCfg(
+            sim=SimCfg(contact_model="pgs"),
+            domain_rand=DomainRandCfg(
+                randomize_link_mass=True,
+                randomize_base_com=True,
+                randomize_inertia=True,
+                randomize_motor_strength=True,
+                randomize_motor_offset=True,
+                randomize_kp_factor=True,
+                randomize_kd_factor=True,
+                randomize_lag_timesteps=True,
+            ),
+            rewards=RewardsCfg(
+                low_speed_lo=0.7,
+                scales=RewardScalesCfg(tracking_lin_vel=2.4),
+            ),
         ),
         XBotLCfgPPO(),
     )

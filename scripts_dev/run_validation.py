@@ -30,14 +30,18 @@ LOG_ROOT = "/tmp/validation_runs"
 
 
 def run_one(tag: str, task: str, iters: int, train_mut=None,
-            gate_s: float | None = None) -> dict:
+            gate_s: float | None = None, seed: int | None = None) -> dict:
     from humanoid_tpu.deploy.eval_gate import CheckpointEvalGate
     from humanoid_tpu.utils import registry
     from humanoid_tpu.utils.logging import TrainLogger
 
-    print(f"=== {tag}: task={task} iters={iters} ===", flush=True)
-    env, env_cfg = registry.make_env(task)
-    _, tcfg = registry.get_cfgs(task)
+    print(f"=== {tag}: task={task} iters={iters} seed={seed} ===",
+          flush=True)
+    env_cfg0, tcfg = registry.get_cfgs(task)
+    if seed is not None:
+        env_cfg0 = env_cfg0.replace(seed=seed)
+        tcfg = tcfg.replace(seed=seed)
+    env, env_cfg = registry.make_env(task, env_cfg=env_cfg0)
     if train_mut is not None:
         tcfg = train_mut(tcfg)
     runner, tcfg = registry.make_alg_runner(
@@ -131,21 +135,33 @@ def main() -> None:
         )
 
     agenda = [
-        ("ab_bf16", "humanoid_ppo", ab_iters, None, None),
-        ("ab_fp32", "humanoid_ppo", ab_iters, fp32, None),
-        ("ab_granule1", "humanoid_ppo", ab_iters, granule1, None),
-        ("flagship", "humanoid_ppo", full_iters, None, 60.0),
-        ("d11", "d11_ppo", full_iters, None, 60.0),
+        ("ab_bf16", "humanoid_ppo", ab_iters, None, None, None),
+        ("ab_fp32", "humanoid_ppo", ab_iters, fp32, None, None),
+        ("ab_granule1", "humanoid_ppo", ab_iters, granule1, None, None),
+        ("flagship", "humanoid_ppo", full_iters, None, 60.0, None),
+        ("d11", "d11_ppo", full_iters, None, 60.0, None),
         # cross-model robustness run (VALIDATION.md open frontier): extended
         # DR over the exact axis of the training-model/reference-MJCF delta
         # (link mass/COM/inertia), gated against the reference MJCF.
-        ("robust", "humanoid_ppo_robust", full_iters, None, 60.0),
+        ("robust", "humanoid_ppo_robust", full_iters, None, 60.0, None),
+        # --- round-3 rows ---
+        # contact-model A/B: flagship rewards/DR, constraint-based contact
+        ("flagship_pgs", "humanoid_ppo_pgs", full_iters, None, 60.0, None),
+        # the shipping transfer recipe (PGS + extended DR + tracking-biased
+        # rewards), at 3 seeds (VERDICT r2 next #6: multi-seed evidence)
+        ("transfer_s5", "humanoid_ppo_transfer", full_iters, None, 60.0, 5),
+        ("transfer_s17", "humanoid_ppo_transfer", full_iters, None, 60.0,
+         17),
+        ("transfer_s42", "humanoid_ppo_transfer", full_iters, None, 60.0,
+         42),
+        # symmetry-loss variant, trained end-to-end (VERDICT r2 next #7)
+        ("sym", "humanoid_ppo_sym", full_iters, None, 60.0, None),
     ]
     results = []
-    for tag, task, iters, mut, gate_s in agenda:
+    for tag, task, iters, mut, gate_s, seed in agenda:
         if only and tag != only:
             continue
-        results.append(run_one(tag, task, iters, mut, gate_s))
+        results.append(run_one(tag, task, iters, mut, gate_s, seed=seed))
     print(json.dumps(results, indent=1))
 
 

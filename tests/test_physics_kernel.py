@@ -207,3 +207,62 @@ def test_kernel_heightfield_planes_track_xla():
     max_dq, z_k, z_x = _track(env_k, env_x)
     assert max_dq < 0.05, max_dq
     assert abs(z_k - z_x) < 0.01
+
+
+@needs_tpu
+def test_kernel_pgs_matches_xla():
+    """The in-kernel block-PGS contact (_pgs_contact) must reproduce the
+    XLA solver (physics/pgs.py) on a randomized near-ground batch: same
+    Delassus, same sweep order, same cone projection -> tight agreement."""
+    import jax.numpy as jnp
+
+    from humanoid_tpu.ops.physics_kernel import (
+        build_substep_fn,
+        pack_state,
+        unpack_state,
+    )
+    from humanoid_tpu.physics.contact import Terrain
+    from humanoid_tpu.physics.engine import PhysState, substep_batch_pgs
+    from humanoid_tpu.physics.pgs import PGSParams
+
+    cfg = XBotLCfg(env=EnvCfg(num_envs=N))
+    env = XBotLEnv(cfg)
+    pgs = PGSParams()
+    key = jax.random.PRNGKey(7)
+    ks = jax.random.split(key, 6)
+    ph = PhysState(
+        base_pos=jnp.concatenate(
+            [jax.random.uniform(ks[0], (N, 2), minval=-0.1, maxval=0.1),
+             jax.random.uniform(ks[1], (N, 1), minval=0.82, maxval=0.95)],
+            axis=1),
+        base_quat=jnp.tile(jnp.array([[1.0, 0.0, 0.0, 0.0]]), (N, 1)),
+        qj=jax.random.uniform(ks[2], (N, 12), minval=-0.2, maxval=0.2),
+        u=jax.random.uniform(ks[3], (N, 18), minval=-0.5, maxval=0.5),
+    )
+    s = env.initial_state(jax.random.PRNGKey(0))
+    targets = jax.random.uniform(ks[4], (N, 12), minval=-0.3, maxval=0.3)
+    fn = build_substep_fn(
+        env.model, env.kp, env.kd, env.torque_limits, env.contact_params,
+        0.001, N, pgs_params=pgs,
+    )
+    out, k_diag = fn(pack_state(ph), s.masses, s.friction, targets)
+    k_state = unpack_state(out, env.nj)
+
+    def torque(s_):
+        tau = env.kp * (targets - s_.qj) - env.kd * s_.u[:, 6:]
+        return jnp.clip(tau, -env.torque_limits, env.torque_limits)
+
+    params = EnvPhysParams(masses=s.masses, friction=s.friction)
+    r_state, r_diag = jax.jit(
+        lambda st: substep_batch_pgs(
+            env.model, params, Terrain.plane(), env.contact_params, pgs,
+            st, torque(st), 0.001,
+        )
+    )(ph)
+    du = float(jnp.max(jnp.abs(k_state.u - r_state.u)))
+    assert du < 1e-2, du
+    assert float(jnp.max(jnp.abs(k_state.base_pos - r_state.base_pos))) < 1e-5
+    # contact forces: agree to 1% of body weight
+    w = env.model.total_mass * 9.81
+    dff = float(jnp.max(jnp.abs(k_diag.foot_forces - r_diag.foot_forces)))
+    assert dff < 0.01 * w, dff
