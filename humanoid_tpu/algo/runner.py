@@ -38,6 +38,7 @@ class IterationMetrics(NamedTuple):
     ep_rew_sums: jnp.ndarray      # (n_rew,) summed over finished episodes
     ep_count: jnp.ndarray
     ep_len_sum: jnp.ndarray
+    ep_term_count: jnp.ndarray    # episodes ended by failure (not timeout)
     mean_action_std: jnp.ndarray
     rew_terms_mean: jnp.ndarray   # (n_rew,) mean per-step contribution
 
@@ -189,18 +190,25 @@ class OnPolicyRunner:
             )
             stats = (
                 out.rew, out.ep_rew_sums, out.ep_count, out.ep_len_sum,
-                out.rew_terms_mean,
+                out.ep_term_count, out.rew_terms_mean,
             )
             return (
                 (ts, env_state, out.obs, out.privileged_obs, key),
                 (transition, stats),
             )
 
-        # unroll: the rollout body is light (one Pallas control step + a
-        # small policy matmul + elementwise obs/reward), so per-trip scan
-        # overhead is a measurable slice (~4 ms/iter of `while` self-time);
-        # unrolling amortizes it and lets XLA fuse across steps
-        unroll = max(u for u in (1, 2, 3, 4, 5, 6) if T % u == 0)
+        # unroll: when the fused Pallas kernel carries the physics the
+        # rollout body is light (one kernel call + a small policy matmul +
+        # elementwise obs/reward), so per-trip scan overhead is a
+        # measurable slice (~4 ms/iter of `while` self-time) and unrolling
+        # amortizes it. On the XLA physics path the body is hundreds of
+        # fusions — unrolling there multiplies an already-long XLA compile
+        # ~6x (measured: the PGS-contact superstep went from >45 min to
+        # minutes with unroll=1) for no runtime win, so don't.
+        if getattr(self.env, "_control_fn", None) is not None:
+            unroll = max(u for u in (1, 2, 3, 4, 5, 6) if T % u == 0)
+        else:
+            unroll = 1
         (ts, env_state, obs, critic_obs, key), (traj, stats) = jax.lax.scan(
             rollout_step,
             (carry.train_state, carry.env_state, carry.obs, carry.critic_obs,
@@ -240,13 +248,15 @@ class OnPolicyRunner:
             net, acfg, ts, batch, k_update, self.vel_slice,
             obs_perm=self.obs_perm, act_perm=self.act_perm,
         )
-        step_rew, ep_rew_sums, ep_count, ep_len_sum, rew_terms = stats
+        (step_rew, ep_rew_sums, ep_count, ep_len_sum, ep_term_count,
+         rew_terms) = stats
         metrics = IterationMetrics(
             update=update_metrics,
             mean_step_reward=jnp.mean(step_rew),
             ep_rew_sums=jnp.sum(ep_rew_sums, axis=0),
             ep_count=jnp.sum(ep_count),
             ep_len_sum=jnp.sum(ep_len_sum),
+            ep_term_count=jnp.sum(ep_term_count),
             mean_action_std=jnp.mean(
                 jnp.maximum(ts.params["params"]["std"], 1e-3)
             ),

@@ -103,6 +103,7 @@ class StepOutput(NamedTuple):
     ep_rew_sums: jnp.ndarray        # (n_rew,) sum of per-episode reward sums
     ep_count: jnp.ndarray           # () number of episodes finished
     ep_len_sum: jnp.ndarray         # () sum of finished episode lengths
+    ep_term_count: jnp.ndarray      # () episodes ended by failure (not timeout)
     rew_terms_mean: jnp.ndarray     # (n_rew,) this-step mean per term
 
 
@@ -1174,6 +1175,7 @@ class XBotLEnv:
             ep_rew_sums=ep_rew_sums,
             ep_count=ep_count,
             ep_len_sum=ep_len_sum,
+            ep_term_count=jnp.sum((term & ~time_out).astype(jnp.float32)),
             rew_terms_mean=jnp.mean(rew_terms, axis=0),
         )
         return new_state, out

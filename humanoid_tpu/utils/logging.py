@@ -72,6 +72,10 @@ class TrainLogger:
             "Train/mean_reward": mean_ep_rew,
             "Train/mean_episode_length": mean_ep_len,
             "Train/mean_step_reward": float(m.mean_step_reward),
+            # fraction of finished episodes ended by failure (contact-force
+            # termination) rather than the 24 s timeout — the direct
+            # diagnostic for the episode-length gap (VERDICT r2 weak #5)
+            "Train/ep_fail_frac": float(m.ep_term_count) / ep_count,
             "Perf/total_fps": fps,
             "Perf/iter_time": iter_time,
         }
