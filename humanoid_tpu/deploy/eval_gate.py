@@ -63,6 +63,12 @@ class CheckpointEvalGate:
                 pass
         self.jsonl_path = os.path.join(log_dir, "eval_gate.jsonl")
         self._procs: List[Tuple[int, str, subprocess.Popen, float]] = []
+        # exported-but-not-yet-replayed checkpoints: training on the chip
+        # outruns CPU MuJoCo replays by ~10x, so instead of skipping on
+        # backlog (round 2 lost ~half the verdicts that way) the gate
+        # queues the cheap .npz exports and drains them as slots free —
+        # every checkpoint gets a verdict (VERDICT r2 next #4)
+        self._queue: List[Tuple[int, str]] = []
         self.results: List[dict] = []
 
     # -- checkpoint hook (called by OnPolicyRunner.save) ------------------
@@ -70,15 +76,12 @@ class CheckpointEvalGate:
     def __call__(self, runner, ckpt_path: str, iteration: int) -> None:
         from .export import export_policy_npz
 
-        self.poll()
-        if len(self._procs) >= self.max_concurrent:
-            # never queue unboundedly: skip this checkpoint's gate rather
-            # than stall training or pile up CPU replays
-            self._log({"iteration": iteration, "skipped": True,
-                       "reason": "gate backlog"})
-            return
         npz = os.path.join(self.log_dir, f"gate_policy_{iteration}.npz")
         export_policy_npz(runner.train_state.params, npz)
+        self._queue.append((iteration, npz))
+        self.poll()
+
+    def _launch(self, iteration: int, npz: str) -> None:
         env = dict(os.environ)
         env["PALLAS_AXON_POOL_IPS"] = ""    # CPU-only subprocess
         env["JAX_PLATFORMS"] = "cpu"
@@ -129,7 +132,8 @@ class CheckpointEvalGate:
     # -- bookkeeping -------------------------------------------------------
 
     def poll(self) -> None:
-        """Reap finished gate subprocesses and record verdicts."""
+        """Reap finished gate subprocesses, record verdicts, and launch
+        queued replays as slots free."""
         live = []
         for it, npz, proc, t0 in self._procs:
             if proc.poll() is None:
@@ -146,10 +150,38 @@ class CheckpointEvalGate:
                 rec["error"] = (err or out).strip()[-500:]
             self._log(rec)
         self._procs = live
+        while self._queue and len(self._procs) < self.max_concurrent:
+            it, npz = self._queue.pop(0)
+            self._launch(it, npz)
 
-    def wait_all(self, timeout: float = 600.0) -> None:
+    def drain_async(self) -> None:
+        """Start a daemon thread that keeps polling (reaping + launching
+        queued replays) in the background — lets a caller move on to the
+        next training run while this run's gate backlog drains on the
+        CPU. wait_all() joins it."""
+        import threading
+
+        if getattr(self, "_drain_thread", None) is not None:
+            return
+        self._drain_stop = False
+
+        def loop():
+            while not self._drain_stop and (self._procs or self._queue):
+                self.poll()
+                time.sleep(2.0)
+
+        self._drain_thread = threading.Thread(target=loop, daemon=True)
+        self._drain_thread.start()
+
+    def wait_all(self, timeout: float = 7200.0) -> None:
+        """Drain the queue and all live replays (called after training)."""
+        t = getattr(self, "_drain_thread", None)
+        if t is not None:
+            t.join(timeout)
+            self._drain_stop = True
+            self._drain_thread = None
         deadline = time.time() + timeout
-        while self._procs and time.time() < deadline:
+        while (self._procs or self._queue) and time.time() < deadline:
             self.poll()
             if self._procs:
                 time.sleep(2.0)
@@ -157,7 +189,11 @@ class CheckpointEvalGate:
             proc.kill()
             self._log({"iteration": it, "passed": False,
                        "error": "gate timeout"})
+        for it, npz in self._queue:
+            self._log({"iteration": it, "passed": False,
+                       "error": "gate timeout (queued)"})
         self._procs = []
+        self._queue = []
 
     def _log(self, rec: dict) -> None:
         self.results.append(rec)

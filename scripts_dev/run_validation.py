@@ -30,7 +30,13 @@ LOG_ROOT = "/tmp/validation_runs"
 
 
 def run_one(tag: str, task: str, iters: int, train_mut=None,
-            gate_s: float | None = None, seed: int | None = None) -> dict:
+            gate_s: float | None = None, seed: int | None = None,
+            defer_gate: bool = False):
+    """Train one run. Returns (summary, finish) where finish() drains the
+    eval gate (if any) and writes the final summary/artifacts. With
+    defer_gate the caller invokes finish() later, so CPU MuJoCo replays
+    overlap the next run's TPU training (this host has 2 cores; a 60 s
+    replay costs ~1.5-3 min while training a full run takes ~5)."""
     from humanoid_tpu.deploy.eval_gate import CheckpointEvalGate
     from humanoid_tpu.utils import registry
     from humanoid_tpu.utils.logging import TrainLogger
@@ -50,7 +56,8 @@ def run_one(tag: str, task: str, iters: int, train_mut=None,
     logger = TrainLogger(runner.log_dir, env.reward_names, env_cfg, tcfg)
     gate = None
     if gate_s:
-        gate = CheckpointEvalGate(runner.log_dir, duration=gate_s, task=task)
+        gate = CheckpointEvalGate(runner.log_dir, duration=gate_s,
+                                  task=task, max_concurrent=2)
         runner.on_checkpoint = gate
 
     def log_fn(it, m, fps, dt):
@@ -63,24 +70,10 @@ def run_one(tag: str, task: str, iters: int, train_mut=None,
     t0 = time.time()
     runner.learn(iters, init_at_random_ep_len=True, log_fn=log_fn)
     wall = time.time() - t0
-    if gate is not None:
-        gate.wait_all(timeout=1200)
     logger.close()
+    if gate is not None and defer_gate:
+        gate.drain_async()
 
-    out_dir = os.path.join(VAL_ROOT, tag)
-    os.makedirs(out_dir, exist_ok=True)
-    for f in ("metrics.jsonl", "eval_gate.jsonl"):
-        p = os.path.join(runner.log_dir, f)
-        if os.path.exists(p):
-            shutil.copy(p, out_dir)
-    dashboards = sorted(
-        (f for f in os.listdir(runner.log_dir)
-         if f.startswith("gate_dashboard")),
-        key=lambda f: int(f.split("_")[-1].split(".")[0]),
-    )
-    if dashboards:
-        shutil.copy(os.path.join(runner.log_dir, dashboards[-1]),
-                    os.path.join(out_dir, "gate_dashboard_final.png"))
     import jax
 
     last = None
@@ -101,19 +94,49 @@ def run_one(tag: str, task: str, iters: int, train_mut=None,
         ),
         "final_mean_reward": last.get("Train/mean_reward") if last else None,
         "final_mean_ep_len": last.get("Train/mean_episode_length") if last else None,
+        "final_ep_fail_frac": last.get("Train/ep_fail_frac") if last else None,
         "compute_dtype": tcfg.policy.compute_dtype,
         "shuffle_granule": tcfg.algorithm.shuffle_granule,
+        "contact_model": env_cfg.sim.contact_model,
+        "gate_duration_s": gate_s,
         "seed": tcfg.seed,
         "run_dir": runner.log_dir,
     }
-    if gate is not None:
-        n_pass = sum(1 for r in gate.results if r.get("passed"))
-        summary["gate_passed"] = n_pass
-        summary["gate_total"] = len(gate.results)
-    with open(os.path.join(out_dir, "summary.json"), "w") as f:
-        json.dump(summary, f, indent=1)
-    print(f"[{tag}] done: {summary}", flush=True)
-    return summary
+
+    def finish():
+        if gate is not None:
+            gate.wait_all(timeout=7200)
+        out_dir = os.path.join(VAL_ROOT, tag)
+        os.makedirs(out_dir, exist_ok=True)
+        for f in ("metrics.jsonl", "eval_gate.jsonl"):
+            p = os.path.join(runner.log_dir, f)
+            if os.path.exists(p):
+                shutil.copy(p, out_dir)
+        dashboards = sorted(
+            (f for f in os.listdir(runner.log_dir)
+             if f.startswith("gate_dashboard")),
+            key=lambda f: int(f.split("_")[-1].split(".")[0]),
+        )
+        if dashboards:
+            shutil.copy(os.path.join(runner.log_dir, dashboards[-1]),
+                        os.path.join(out_dir, "gate_dashboard_final.png"))
+        if gate is not None:
+            n_pass = sum(1 for r in gate.results if r.get("passed"))
+            summary["gate_passed"] = n_pass
+            summary["gate_total"] = len(gate.results)
+            late = [r for r in gate.results
+                    if r.get("iteration", 0) >= 600]
+            summary["gate_passed_from_600"] = sum(
+                1 for r in late if r.get("passed"))
+            summary["gate_total_from_600"] = len(late)
+        with open(os.path.join(out_dir, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"[{tag}] done: {summary}", flush=True)
+        return summary
+
+    if not defer_gate:
+        finish()
+    return summary, finish
 
 
 def main() -> None:
@@ -157,11 +180,14 @@ def main() -> None:
         # symmetry-loss variant, trained end-to-end (VERDICT r2 next #7)
         ("sym", "humanoid_ppo_sym", full_iters, None, 60.0, None),
     ]
-    results = []
+    pending = []
     for tag, task, iters, mut, gate_s, seed in agenda:
         if only and tag != only:
             continue
-        results.append(run_one(tag, task, iters, mut, gate_s, seed=seed))
+        _, finish = run_one(tag, task, iters, mut, gate_s, seed=seed,
+                            defer_gate=True)
+        pending.append(finish)
+    results = [finish() for finish in pending]
     print(json.dumps(results, indent=1))
 
 

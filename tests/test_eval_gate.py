@@ -86,11 +86,30 @@ def test_gate_crash_is_fail(tmp_path):
     assert gate.results[0]["passed"] is False
 
 
-def test_gate_backlog_skips(tmp_path):
+def test_gate_backlog_queues_not_skips(tmp_path, monkeypatch):
+    """A checkpoint arriving while all replay slots are busy is QUEUED
+    (round 2 skipped it and lost ~half the verdicts); the queue drains as
+    slots free."""
+    import humanoid_tpu.deploy.export as export_mod
+
+    monkeypatch.setattr(export_mod, "export_policy_npz",
+                        lambda params, path: path)
     gate = CheckpointEvalGate(str(tmp_path), duration=10.0, max_concurrent=0)
 
-    class R:  # minimal runner stand-in; export should never be reached
-        train_state = None
+    class R:
+        train_state = type("TS", (), {"params": None})()
 
     gate(R(), "ckpt", 300)
-    assert gate.results[0].get("skipped") is True
+    assert gate._queue == [(300, str(tmp_path / "gate_policy_300.npz"))]
+    assert gate.results == []     # no skip record
+    # a slot opens -> the queued replay launches
+    gate.max_concurrent = 1
+    monkeypatch.setattr(
+        gate, "_launch",
+        lambda it, npz: gate._procs.append((it, npz, _fake_proc(
+            "{'survived_s': 10.0, 'distance_m': 4.2, 'mean_speed': 0.42, "
+            "'final_base_z': 0.9}"), time.time())),
+    )
+    gate.wait_all(timeout=30)
+    assert gate.results and gate.results[0]["iteration"] == 300
+    assert gate.results[0]["passed"] is True
