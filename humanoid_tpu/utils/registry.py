@@ -288,6 +288,15 @@ def _register_builtin():
     from ..config.structs import d11_cfg
 
     register("d11_ppo", XBotLEnv, d11_cfg(), XBotLCfgPPO())
+    # 18-dof task on the constraint-based contact solve (the d11 sim2sim
+    # oracle is the MJCF exported from the compiled model, so this is the
+    # same-model transfer path with solver-class parity to MuJoCo)
+    register(
+        "d11_ppo_pgs",
+        XBotLEnv,
+        d11_cfg().replace(sim=SimCfg(contact_model="pgs")),
+        XBotLCfgPPO(),
+    )
     register(
         "d12_ppo",
         XBotLEnv,
