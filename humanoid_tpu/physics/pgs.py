@@ -41,7 +41,7 @@ class PGSParams(NamedTuple):
     contact (MuJoCo's default solref (0.02, 1)) to the velocity level at
     h = 1 ms: erp = h/(h + 2*tau), cfm_ratio = tau^2/(h*(h + 2*tau)) /
     (1/h) ~ A_nn-relative regularization."""
-    iterations: int = 16
+    iterations: int = 8
     erp: float = 0.024
     cfm_ratio: float = 0.01
     slop: float = 0.0

@@ -146,7 +146,7 @@ def test_fused_control_kernel_frozen_close_to_exact():
     assert float(jnp.max(jnp.abs(p1.u - p2.u))) < 0.1
 
 
-def _env_pair(task, n=128):
+def _env_pair(task, n=128, cfg_mut=None):
     """Same task built with and without the fused kernel."""
     import dataclasses
 
@@ -154,6 +154,8 @@ def _env_pair(task, n=128):
 
     cfg, _ = registry.get_cfgs(task)
     cfg = cfg.replace(env=dataclasses.replace(cfg.env, num_envs=n))
+    if cfg_mut is not None:
+        cfg = cfg_mut(cfg)
     env_k, _ = registry.make_env(task, env_cfg=cfg)
     cfg_x = cfg.replace(
         sim=dataclasses.replace(cfg.sim, use_pallas_substep=False)
@@ -266,3 +268,21 @@ def test_kernel_pgs_matches_xla():
     w = env.model.total_mass * 9.81
     dff = float(jnp.max(jnp.abs(k_diag.foot_forces - r_diag.foot_forces)))
     assert dff < 0.01 * w, dff
+
+
+@needs_tpu
+def test_kernel_pgs_heightfield_planes_track_xla():
+    """PGS contact + heightfield terrain: the kernel's local-tangent-plane
+    PGS path (planes branch of _pgs_contact) stays on the XLA
+    per-substep-sampled trajectory."""
+    import dataclasses
+
+    def to_pgs(cfg):
+        return cfg.replace(
+            sim=dataclasses.replace(cfg.sim, contact_model="pgs")
+        )
+
+    env_k, env_x = _env_pair("humanoid_ppo_terrain", cfg_mut=to_pgs)
+    max_dq, z_k, z_x = _track(env_k, env_x)
+    assert max_dq < 0.05, max_dq
+    assert abs(z_k - z_x) < 0.01
