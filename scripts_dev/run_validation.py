@@ -31,7 +31,7 @@ LOG_ROOT = "/tmp/validation_runs"
 
 def run_one(tag: str, task: str, iters: int, train_mut=None,
             gate_s: float | None = None, seed: int | None = None,
-            defer_gate: bool = False):
+            defer_gate: bool = False, env_mut=None):
     """Train one run. Returns (summary, finish) where finish() drains the
     eval gate (if any) and writes the final summary/artifacts. With
     defer_gate the caller invokes finish() later, so CPU MuJoCo replays
@@ -47,6 +47,8 @@ def run_one(tag: str, task: str, iters: int, train_mut=None,
     if seed is not None:
         env_cfg0 = env_cfg0.replace(seed=seed)
         tcfg = tcfg.replace(seed=seed)
+    if env_mut is not None:
+        env_cfg0 = env_mut(env_cfg0)
     env, env_cfg = registry.make_env(task, env_cfg=env_cfg0)
     if train_mut is not None:
         tcfg = train_mut(tcfg)
