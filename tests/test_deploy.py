@@ -241,3 +241,25 @@ def test_torchscript_and_onnx_export(tmp_path):
 
     f = load_onnx_mlp(onnx_path)
     assert np.allclose(f(obs), ref_act, atol=1e-5)
+
+
+def test_committed_transfer_policy_walks():
+    """The committed converged policy (validation/transfer_s5/
+    policy_3001.npz, the round-3 headline artifact) must keep replaying
+    green on the reference MJCF: a 10 s window of the deterministic 60 s
+    gate replay — upright and tracking the 0.5 m/s command."""
+    import os
+
+    from humanoid_tpu.deploy.npz_policy import NpzPolicy
+    from humanoid_tpu.deploy.sim2sim import cfg_for_task, run_mujoco
+
+    npz = os.path.join(
+        os.path.dirname(__file__), "..", "validation", "transfer_s5",
+        "policy_3001.npz",
+    )
+    cfg = cfg_for_task("humanoid_ppo_transfer", duration=10.0)
+    m = run_mujoco(NpzPolicy(npz), cfg, command=(0.5, 0.0, 0.0),
+                   heading_hold=True)
+    assert m["survived_s"] >= 10.0 - 1e-6
+    assert m["mean_speed"] >= 0.35, m
+    assert m["final_base_z"] >= 0.65, m
