@@ -2,8 +2,12 @@
 
 Metric (matches the reference's fps definition, on_policy_runner.py:204-208):
   env_steps_per_sec = num_steps_per_env * num_envs / iteration_wall_clock
-measured on the flagship config (4096 envs, 60-step rollout, 10x 1 kHz
-physics substeps per control step, full PPO update).
+measured on the SHIPPING flagship task (`humanoid_ppo` from the registry:
+4096 envs, 60-step rollout, 10x 1 kHz physics substeps per control step,
+block-PGS contact, full PPO update) — the configuration a default
+`python -m humanoid_tpu.scripts.train` run uses and the one validated to
+pass the 60 s reference-MJCF sim2sim gate (VALIDATION.md). Pass
+`--task humanoid_ppo_penalty` for the compliant-contact A/B number.
 
 Baseline: Isaac Gym humanoid-gym on one A100 is assumed at 50k env-steps/s
 (the reference publishes no numbers — BASELINE.md; the driver target is
@@ -12,6 +16,7 @@ Baseline: Isaac Gym humanoid-gym on one A100 is assumed at 50k env-steps/s
 Prints ONE JSON line.
 """
 import argparse
+import dataclasses
 import json
 import sys
 import time
@@ -23,6 +28,7 @@ A100_BASELINE = 50_000.0
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--task", default="humanoid_ppo")
     ap.add_argument("--num-envs", type=int, default=4096)
     ap.add_argument("--steps", type=int, default=60)
     ap.add_argument("--iters", type=int, default=3)
@@ -32,11 +38,14 @@ def main():
     import jax
 
     from humanoid_tpu.algo.runner import OnPolicyRunner
-    from humanoid_tpu.config.structs import EnvCfg, RunnerCfg, XBotLCfg, XBotLCfgPPO
+    from humanoid_tpu.utils import registry
 
-    cfg = XBotLCfg(env=EnvCfg(num_envs=args.num_envs))
-    tcfg = XBotLCfgPPO(runner=RunnerCfg(num_steps_per_env=args.steps))
-    env = XBotLEnv_build(cfg)
+    cfg, tcfg = registry.get_cfgs(args.task)
+    cfg = cfg.replace(env=dataclasses.replace(cfg.env, num_envs=args.num_envs))
+    tcfg = tcfg.replace(
+        runner=dataclasses.replace(tcfg.runner, num_steps_per_env=args.steps)
+    )
+    env, _ = registry.make_env(args.task, env_cfg=cfg)
     runner = OnPolicyRunner(env, tcfg)
     carry = runner.init_carry()
 
@@ -63,17 +72,15 @@ def main():
             {
                 "metric": "env_steps_per_sec",
                 "value": round(fps, 1),
-                "unit": "env-steps/s (4096 envs, 60-step PPO iteration, 1 chip)",
+                "unit": (
+                    f"env-steps/s ({args.task}: {args.num_envs} envs, "
+                    f"{args.steps}-step PPO iteration, "
+                    f"{cfg.sim.contact_model} contact, 1 chip)"
+                ),
                 "vs_baseline": round(fps / A100_BASELINE, 3),
             }
         )
     )
-
-
-def XBotLEnv_build(cfg):
-    from humanoid_tpu.env import XBotLEnv
-
-    return XBotLEnv(cfg)
 
 
 if __name__ == "__main__":

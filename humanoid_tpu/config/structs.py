@@ -82,10 +82,15 @@ class SimCfg:
     # fused Pallas substep kernel on TPU (ops/physics_kernel.py) when the
     # task is eligible (plane terrain, no per-env inertia/gain overrides)
     use_pallas_substep: bool = True
-    # contact model: "penalty" (compliant spring-damper + regularized
-    # Coulomb, contact.py) or "pgs" (constraint-based block-PGS impulse
-    # solve, physics/pgs.py — the per-env QP/PGS contact of SURVEY.md §7,
-    # same class as PhysX TGS / MuJoCo)
+    # contact model: "pgs" (constraint-based block-PGS impulse solve,
+    # physics/pgs.py — the per-env QP/PGS contact of SURVEY.md §7, same
+    # class as PhysX TGS / MuJoCo) or "penalty" (compliant spring-damper +
+    # regularized Coulomb, contact.py). EVERY registered task ships "pgs"
+    # (utils/registry.py — the configuration that passes the honest 60 s
+    # sim2sim gate 26/26; penalty fails it 0/26, VALIDATION.md). The
+    # dataclass default stays "penalty" only because bare XBotLCfg() is
+    # the cheap-compile base for CPU tests/dryruns: the PGS XLA fallback
+    # graph compiles pathologically slowly on CPU hosts.
     contact_model: str = "penalty"
     # 8 sweeps converge this 8-contact problem: goldens are bit-for-bit
     # at the reported precision vs 16 (and vs 6), and the full gated

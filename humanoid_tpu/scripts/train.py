@@ -26,9 +26,10 @@ def get_args(argv=None):
     p.add_argument("--checkpoint", type=int, default=-1)
     p.add_argument("--terrain", choices=["plane", "heightfield", "trimesh"])
     p.add_argument("--contact", choices=["penalty", "pgs"],
-                   help="contact model override: compliant penalty "
-                        "(default) or the constraint-based block-PGS "
-                        "solve (physics/pgs.py)")
+                   help="contact model override: the constraint-based "
+                        "block-PGS solve (physics/pgs.py; the shipping "
+                        "default on every registered task) or the "
+                        "compliant penalty model (A/B)")
     p.add_argument("--log-root", dest="log_root")
     p.add_argument("--profile", type=int, default=0, metavar="N",
                    help="capture an XLA device trace of N iterations "

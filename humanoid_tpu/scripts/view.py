@@ -52,7 +52,7 @@ class ViewerSession:
     Split from the window loop so the control logic is unit-testable
     headlessly (tests/test_viewer.py)."""
 
-    def __init__(self, task: str, cmd, load=None):
+    def __init__(self, task: str, cmd, load=None, contact="penalty"):
         import jax
         import jax.numpy as jnp
 
@@ -68,6 +68,13 @@ class ViewerSession:
                 randomize_friction=False, randomize_base_mass=False,
                 push_robots=False, dynamic_randomization=0.0,
                 action_delay=False,
+            ),
+            # the viewer is an interactive visualization, usually on a CPU
+            # backend where the 1-env XLA PGS graph compiles for minutes;
+            # default to the cheap compliant model (contact=None keeps the
+            # task's own contact model, e.g. for on-TPU viewing)
+            sim=dataclasses.replace(
+                env_cfg.sim, contact_model=contact or env_cfg.sim.contact_model
             ),
         )
         self.env = XBotLEnv(env_cfg)

@@ -149,7 +149,26 @@ def make_alg_runner(env, name: str, args=None, log_root: Optional[str] = None,
 def _register_builtin():
     from ..env.xbotl import XBotLEnv
 
-    register("humanoid_ppo", XBotLEnv, XBotLCfg(), XBotLCfgPPO())
+    from ..config.structs import SimCfg
+
+    # Every registered (shipping) task uses the constraint-based block-PGS
+    # contact solve — the configuration validated to pass the honest 60 s
+    # reference-MJCF sim2sim gate at every converged checkpoint
+    # (VALIDATION.md round-3 table: pgs rows 26/26 from iteration 600,
+    # penalty rows 0-10/26). The XBotLCfg *dataclass* default stays
+    # "penalty" because it is the cheap-compile base for CPU tests and
+    # dryruns; user-facing task names are what ship, and they ship PGS.
+    # The penalty model remains available as the `_penalty` A/B task and
+    # via `--contact penalty` (mirrors the reference's single canonical
+    # task registration, /root/reference/humanoid/envs/__init__.py:46).
+    _pgs = SimCfg(contact_model="pgs")
+
+    register("humanoid_ppo", XBotLEnv, XBotLCfg(sim=_pgs), XBotLCfgPPO())
+    # penalty-contact A/B of the flagship: the compliant spring-damper
+    # model. Measured 0/26 on the honest transfer gate at convergence
+    # (validation/flagship/) — kept for contact-model ablations, not for
+    # deployment training.
+    register("humanoid_ppo_penalty", XBotLEnv, XBotLCfg(), XBotLCfgPPO())
     # terrain-curriculum variant of the same task (reference config 3):
     # heightfield terrain + 17x11 height scan appended to the critic obs
     # (73 + 187 = 260 per privileged frame)
@@ -159,6 +178,7 @@ def _register_builtin():
         XBotLCfg(
             env=EnvCfg(single_num_privileged_obs=73 + 187),
             terrain=TerrainCfg(mesh_type="heightfield", measure_heights=True),
+            sim=_pgs,
         ),
         XBotLCfgPPO(),
     )
@@ -177,21 +197,13 @@ def _register_builtin():
                 terrain_proportions=(0.15, 0.15, 0.15, 0.15, 0.15,
                                      0.1, 0.1),
             ),
+            sim=_pgs,
         ),
         XBotLCfgPPO(),
     )
-    # flagship task on the constraint-based (block-PGS) contact solve —
-    # the A/B against the penalty contact model (physics/pgs.py;
-    # VERDICT r2 next #2: does constraint contact remove the 3-6x
-    # body-weight impact spikes and the bouncy converged gait?)
-    from ..config.structs import SimCfg
-
-    register(
-        "humanoid_ppo_pgs",
-        XBotLEnv,
-        XBotLCfg(sim=SimCfg(contact_model="pgs")),
-        XBotLCfgPPO(),
-    )
+    # backward-compatible alias from when PGS was the opt-in variant
+    # (round 3); now identical to humanoid_ppo
+    register("humanoid_ppo_pgs", XBotLEnv, XBotLCfg(sim=_pgs), XBotLCfgPPO())
     # the extended-features task: XBot-L with the full extended
     # domain-randomization set, action-lag, stand/walk gait switching and
     # the command curriculum (the generic legged layer's feature surface,
@@ -202,6 +214,7 @@ def _register_builtin():
         "humanoid_ppo_robust",
         XBotLEnv,
         XBotLCfg(
+            sim=_pgs,
             domain_rand=DomainRandCfg(
                 randomize_link_mass=True,
                 randomize_base_com=True,
@@ -234,7 +247,7 @@ def _register_builtin():
         "humanoid_ppo_transfer",
         XBotLEnv,
         XBotLCfg(
-            sim=SimCfg(contact_model="pgs"),
+            sim=_pgs,
             domain_rand=DomainRandCfg(
                 randomize_link_mass=True,
                 randomize_base_com=True,
@@ -260,7 +273,7 @@ def _register_builtin():
     register(
         "humanoid_ppo_8k",
         XBotLEnv,
-        XBotLCfg(env=EnvCfg(num_envs=8192)),
+        XBotLCfg(env=EnvCfg(num_envs=8192), sim=_pgs),
         XBotLCfgPPO(),
     )
     # flagship + mirror-symmetry loss (ppo.py:92-105,196-202): regularizes
@@ -272,7 +285,7 @@ def _register_builtin():
     register(
         "humanoid_ppo_sym",
         XBotLEnv,
-        XBotLCfg(),
+        XBotLCfg(sim=_pgs),
         XBotLCfgPPO(
             algorithm=AlgorithmCfg(sym_loss=True, sym_coef=1.0)
         ),
@@ -287,20 +300,22 @@ def _register_builtin():
     # LeggedRobot.
     from ..config.structs import d11_cfg
 
-    register("d11_ppo", XBotLEnv, d11_cfg(), XBotLCfgPPO())
-    # 18-dof task on the constraint-based contact solve (the d11 sim2sim
-    # oracle is the MJCF exported from the compiled model, so this is the
-    # same-model transfer path with solver-class parity to MuJoCo)
+    register(
+        "d11_ppo", XBotLEnv, d11_cfg().replace(sim=_pgs), XBotLCfgPPO()
+    )
+    # backward-compatible alias (round 3's opt-in PGS variant); identical
+    # to d11_ppo now that PGS is the shipping contact model
     register(
         "d11_ppo_pgs",
         XBotLEnv,
-        d11_cfg().replace(sim=SimCfg(contact_model="pgs")),
+        d11_cfg().replace(sim=_pgs),
         XBotLCfgPPO(),
     )
     register(
         "d12_ppo",
         XBotLEnv,
         d11_cfg().replace(
+            sim=_pgs,
             domain_rand=DomainRandCfg(
                 randomize_link_mass=True,
                 randomize_base_com=True,

@@ -91,7 +91,11 @@ def test_registry_d11_d12():
 
 def test_d12_step_with_extensions():
     cfg, _ = registry.get_cfgs("d12_ppo")
-    cfg = cfg.replace(env=dataclasses.replace(cfg.env, num_envs=4))
+    cfg = cfg.replace(
+        env=dataclasses.replace(cfg.env, num_envs=4),
+        # feature-surface test; pin the cheap-compile contact model on CPU
+        sim=dataclasses.replace(cfg.sim, contact_model="penalty"),
+    )
     env = XBotLEnv(cfg)
     s = env.initial_state(jax.random.PRNGKey(0))
     step = jax.jit(env.step)

@@ -264,7 +264,11 @@ def test_measure_heights_priv_obs():
     from humanoid_tpu.utils import registry
 
     cfg0, _ = registry.get_cfgs("humanoid_ppo_terrain")
-    cfg0 = cfg0.replace(env=dataclasses.replace(cfg0.env, num_envs=N))
+    cfg0 = cfg0.replace(
+        env=dataclasses.replace(cfg0.env, num_envs=N),
+        # obs-layout test; pin the cheap-compile contact model on CPU
+        sim=dataclasses.replace(cfg0.sim, contact_model="penalty"),
+    )
     env, _ = registry.make_env("humanoid_ppo_terrain", env_cfg=cfg0)
     assert env.n_height_points == 17 * 11
     s = env.initial_state(jax.random.PRNGKey(0))
