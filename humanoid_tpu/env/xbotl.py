@@ -89,6 +89,12 @@ class EnvState(NamedTuple):
     gait_time: Optional[jnp.ndarray] = None            # (N, n_gaits) int32
     # command curriculum state (legged_robot.py:563-572)
     cmd_x_range: Optional[jnp.ndarray] = None          # (2,) [lo, hi]
+    # per-contact-point local terrain planes [c0,gx,gy] for the NEXT
+    # control step's fused kernel, sampled at this step's exit positions
+    # (= next step's entry positions — the same point the old pre-step
+    # _contact_planes sampled) by the Pallas heightfield sampler
+    # (ops/terrain_kernel.py). None on flat terrain / XLA fallback.
+    terrain_planes: Optional[jnp.ndarray] = None       # (N, 3*P)
     # reward curriculum gain on action_smoothness (legged_robot.py:241)
     course_gain: jnp.ndarray = None                    # () float32
 
@@ -276,6 +282,51 @@ class XBotLEnv:
             self.reward_names.index("tracking_lin_vel")
             if "tracking_lin_vel" in self.reward_names else None
         )
+
+        # Pallas heightfield sampler (ops/terrain_kernel.py): replaces the
+        # XLA path's per-control-step elementwise gathers (7 gathers x
+        # ~8 ms at 4096 envs — the measured ~70 k env-steps/s terrain
+        # cliff of round 3) with one per-env tile DMA + one-hot matmul
+        # corner extraction (~1 ms). Engaged exactly when the fused
+        # control kernel is (TPU + tileable env count) on non-flat
+        # terrain; the XLA gather path stays as the CPU/test fallback.
+        self._terrain_sampler = None
+        if self._control_fn is not None and not self.terrain.flat \
+                and terrain_world is not None:
+            from ..ops.terrain_kernel import TerrainSampler
+
+            self._terrain_sampler = TerrainSampler(
+                terrain_world.height, cfg.terrain.vertical_scale,
+                self.terrain.horizontal_scale, self.terrain.border, N,
+            )
+            # default-pose contact-point offsets (base at origin, identity
+            # quat): just-reset envs teleport, so their next-step entry
+            # planes are sampled at default-stance offsets from the fresh
+            # base xy (feet spawn ~0.3 m above ground — no contact for the
+            # first steps, so the <=3 cm offset error from the +-0.1 rad
+            # reset joint noise is immaterial)
+            from ..physics.kinematics import fk as _fk
+
+            bp0, bq0 = _fk(
+                m, jnp.zeros(3), jnp.array([1.0, 0.0, 0.0, 0.0]),
+                self.default_dof_pos,
+            )
+            pt_body, pt_off = m.contact_points()
+            offs = [
+                bp0[int(b)] + quat_rotate(bq0[int(b)], jnp.asarray(off))
+                for b, off in zip(pt_body, pt_off)
+            ] + [
+                bp0[int(m.term_sphere_body[i])]
+                + quat_rotate(
+                    bq0[int(m.term_sphere_body[i])],
+                    jnp.asarray(m.term_sphere_offset[i]),
+                )
+                for i in range(len(m.term_sphere_body))
+            ]
+            self._default_contact_xy = jnp.asarray(
+                np.stack([np.asarray(o) for o in offs])[:, 0:2],
+                dtype=jnp.float32,
+            )                                           # (P, 2)
 
     # ------------------------------------------------------------------
     # static helpers
@@ -601,10 +652,16 @@ class XBotLEnv:
 
         nK = cfg.env.num_single_obs
         nKp = cfg.env.single_num_privileged_obs
+        phys0 = self._reset_phys(kq, N, env_origins)
+        if self._terrain_sampler is not None:
+            # seed the first step's contact planes via the (one-time) XLA
+            # gather path; subsequent steps carry them forward from the
+            # Pallas sampler
+            extra["terrain_planes"] = self._contact_planes(phys0)
         return EnvState(
             course_gain=jnp.ones(()),
             **extra,
-            phys=self._reset_phys(kq, N, env_origins),
+            phys=phys0,
             masses=masses,
             friction=friction,
             episode_length=jnp.zeros(N, dtype=jnp.int32),
@@ -718,7 +775,14 @@ class XBotLEnv:
                     ].reshape(N, -1)
                 )
             if not self.terrain.flat:
-                extras.append(self._contact_planes(state.phys))
+                # kernel path: planes were sampled at the previous step's
+                # exit positions (== this step's entry positions) by the
+                # Pallas heightfield sampler; fallback: gather them now
+                extras.append(
+                    state.terrain_planes
+                    if self._terrain_sampler is not None
+                    else self._contact_planes(state.phys)
+                )
             phys, diag = control_step_pallas_fused(
                 self._control_fn, state.phys, state.masses, state.friction,
                 ktargets, self.nj, tuple(extras),
@@ -954,11 +1018,19 @@ class XBotLEnv:
                 jnp.maximum(new_levels, 0),
             )
             terrain_levels = jnp.where(reset_buf, new_levels, terrain_levels)
-            env_origins = jnp.where(
-                r,
-                self.terrain_origins[terrain_levels, state.terrain_types],
-                env_origins,
+            # origin lookup as a one-hot matmul — a (N,) row gather is
+            # another serialized-gather op on TPU; the table is tiny
+            # (rows*cols, 3) so the MXU form is effectively free
+            flat_tbl = self.terrain_origins.reshape(-1, 3)
+            flat_idx = (
+                terrain_levels * self.terrain_world.num_cols
+                + state.terrain_types
             )
+            onehot = (
+                flat_idx[:, None]
+                == jnp.arange(flat_tbl.shape[0], dtype=jnp.int32)[None, :]
+            ).astype(jnp.float32)
+            env_origins = jnp.where(r, onehot @ flat_tbl, env_origins)
 
         fresh_phys = self._reset_phys(k_reset_q, N, env_origins)
         phys = PhysState(
@@ -1079,16 +1151,65 @@ class XBotLEnv:
             ],
             axis=1,
         )
+        new_terrain_planes = state.terrain_planes
+        mh = None
+        if self._terrain_sampler is not None:
+            # ONE Pallas sampler call for both the height scan (critic
+            # obs) and the next step's contact planes, at this step's
+            # exit (post-reset) positions. Contact points come straight
+            # from the control kernel's FK diagnostics; just-reset envs
+            # use the default-stance offsets at their fresh base.
+            if cfg.terrain.measure_heights:
+                scan_xy = (
+                    quat_apply_yaw(
+                        phys.base_quat[:, None, :],
+                        self.height_points[None, :, :],
+                    ) + phys.base_pos[:, None, :]
+                )[..., 0:2]
+            else:
+                scan_xy = phys.base_pos[:, None, 0:2]
+            pt_body, pt_off = self.model.contact_points()
+            cps = [
+                diag.body_pos[:, int(b)] + quat_rotate(
+                    diag.body_quat[:, int(b)],
+                    jnp.asarray(off, dtype=jnp.float32),
+                )
+                for b, off in zip(pt_body, pt_off)
+            ] + [
+                diag.body_pos[:, int(self.model.term_sphere_body[i])]
+                + quat_rotate(
+                    diag.body_quat[:, int(self.model.term_sphere_body[i])],
+                    jnp.asarray(
+                        self.model.term_sphere_offset[i], dtype=jnp.float32
+                    ),
+                )
+                for i in range(len(self.model.term_sphere_body))
+            ]
+            con_xy = jnp.stack([p[:, 0:2] for p in cps], axis=1)
+            fresh_xy = (
+                phys.base_pos[:, None, 0:2]
+                + self._default_contact_xy[None, :, :]
+            )
+            con_xy = jnp.where(r[:, :, None], fresh_xy, con_xy)
+            mh, corners = self._terrain_sampler.sample(
+                phys.base_pos[:, 0:2], scan_xy, con_xy
+            )
+            hh, gx, gy = self.terrain.interp_from_corners(*corners)
+            c0 = hh - gx * con_xy[..., 0] - gy * con_xy[..., 1]
+            new_terrain_planes = jnp.stack([c0, gx, gy], axis=-1).reshape(
+                N, -1
+            )
+        elif cfg.terrain.measure_heights:
+            pts = quat_apply_yaw(
+                phys.base_quat[:, None, :], self.height_points[None, :, :]
+            ) + phys.base_pos[:, None, :]
+            mh = self.terrain.sample_min3(pts[..., 0:2])         # (N, P)
         if cfg.terrain.measure_heights:
             # yaw-rotated scan grid around the base; clipped relative
             # heights appended to the critic obs (humanoid_env.py:871-874 —
             # the reference overwrites the priv obs with [actor_obs,
             # heights]; we append to the standard privileged frame instead
             # so the critic keeps its contact/push/friction information)
-            pts = quat_apply_yaw(
-                phys.base_quat[:, None, :], self.height_points[None, :, :]
-            ) + phys.base_pos[:, None, :]
-            mh = self.terrain.sample_min3(pts[..., 0:2])         # (N, P)
             heights_o = (
                 jnp.clip(phys.base_pos[:, 2:3] - 0.5 - mh, -1.0, 1.0)
                 * obs_scales.height_measurements
@@ -1164,6 +1285,7 @@ class XBotLEnv:
             gait_start=gs,
             gait_time=gait_time,
             cmd_x_range=cmd_x_range,
+            terrain_planes=new_terrain_planes,
             course_gain=state.course_gain,
         )
         out = StepOutput(

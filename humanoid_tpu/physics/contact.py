@@ -131,20 +131,12 @@ class Terrain:
             + h11 * tx * ty
         )
 
-    def sample_with_grad(self, xy):
-        """(height, dh/dx, dh/dy) of the sampled surface at world xy.
-
-        The gradient is exact for the interpolant within the cell —
-        together with the height it defines the local tangent plane used
-        for normal-aligned contact forces and by the fused Pallas kernel
-        during one control step (ops/physics_kernel.py terrain_planes).
-        Inside a vertical-face band the gradient is ~rise/(w*hs), making
-        the contact normal nearly horizontal — a wall."""
-        if self.flat:
-            z = jnp.zeros(xy.shape[:-1], dtype=xy.dtype)
-            return z, z, z
+    def interp_from_corners(self, h00, h10, h01, h11, tx, ty):
+        """(height, dh/dx, dh/dy) from the 4 cell-corner heights and the
+        in-cell lerp parameters — the shared interpolation math behind
+        sample_with_grad (gather path) and the Pallas heightfield sampler
+        (ops/terrain_kernel.py), including the vertical-face warp."""
         hs = self.horizontal_scale
-        h00, h10, h01, h11, tx, ty = self._corners(xy)
         if self.wall_thresh > 0.0:
             thr, w = self.wall_thresh, self.wall_width
             dx0, dx1 = h10 - h00, h11 - h01
@@ -169,6 +161,20 @@ class Terrain:
         gx = ((h10 - h00) * (1 - ty) + (h11 - h01) * ty) / hs
         gy = ((h01 - h00) * (1 - tx) + (h11 - h10) * tx) / hs
         return h, gx, gy
+
+    def sample_with_grad(self, xy):
+        """(height, dh/dx, dh/dy) of the sampled surface at world xy.
+
+        The gradient is exact for the interpolant within the cell —
+        together with the height it defines the local tangent plane used
+        for normal-aligned contact forces and by the fused Pallas kernel
+        during one control step (ops/physics_kernel.py terrain_planes).
+        Inside a vertical-face band the gradient is ~rise/(w*hs), making
+        the contact normal nearly horizontal — a wall."""
+        if self.flat:
+            z = jnp.zeros(xy.shape[:-1], dtype=xy.dtype)
+            return z, z, z
+        return self.interp_from_corners(*self._corners(xy))
 
     def sample_min3(self, xy):
         """min of 3 neighboring cells — the reference's conservative height

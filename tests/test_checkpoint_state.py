@@ -41,6 +41,7 @@ def _leaves(params):
     return [np.asarray(x) for x in jax.tree.leaves(params)]
 
 
+@pytest.mark.slow
 def test_exact_state_resume_bitwise(tmp_path):
     cfg, tcfg = _cfgs()
 
@@ -101,6 +102,7 @@ def test_npz_fallback_roundtrip(tmp_path, monkeypatch):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_plain_resume_still_works(tmp_path):
     cfg, tcfg = _cfgs()
     env = XBotLEnv(cfg)

@@ -34,6 +34,8 @@ from humanoid_tpu.physics.engine import (
 )
 from humanoid_tpu.physics.mjcf_export import model_to_mjcf
 
+pytestmark = pytest.mark.slow  # MuJoCo golden rollouts: 25-82 s each on 2 CPU cores
+
 KP = np.array([200.0, 200, 350, 350, 15, 15] * 2)
 KD = np.array([10.0] * 12)
 STANCE_N = 5.0          # stance threshold the rewards use (humanoid_env.py:833)

@@ -35,6 +35,7 @@ def test_model_18dof(env):
     assert float(np.sum(m.mass)) == pytest.approx(53.0, abs=1.0)
 
 
+@pytest.mark.slow
 def test_obs_layout_and_step(env):
     cfg = env.cfg
     assert cfg.env.num_single_obs == 5 + 3 * 18 + 6 == 65
@@ -89,6 +90,7 @@ def test_registry_d11_d12():
     assert c12.commands.sw_switch and c12.domain_rand.randomize_lag_timesteps
 
 
+@pytest.mark.slow
 def test_d12_step_with_extensions():
     cfg, _ = registry.get_cfgs("d12_ppo")
     cfg = cfg.replace(

@@ -120,6 +120,7 @@ def test_lag_buffer_shift_and_reset():
     assert np.allclose(np.asarray(s2.lag_buffer), 0.0)
 
 
+@pytest.mark.slow
 def test_sw_switch_stand_freezes_phase():
     env, cfg = make_env(
         commands=CommandsCfg(
@@ -143,6 +144,7 @@ def test_sw_switch_stand_freezes_phase():
     assert np.allclose(last[:, 0], 0.0, atol=0.1), "sin(phase) ~ 0 standing"
 
 
+@pytest.mark.slow
 def test_sw_switch_walk_command_unfreezes_phase():
     """Regression for the absorbing stand state (scripts_dev/
     robust_bisect.py): after the stand timer passes static_delay (phase
@@ -236,6 +238,7 @@ def test_command_curriculum_widens():
     assert np.all(np.asarray(s2.commands)[:, 0] <= hi1 + 1e-6)
 
 
+@pytest.mark.slow
 def test_course_gain_curriculum():
     from humanoid_tpu.algo.runner import OnPolicyRunner
 

@@ -18,6 +18,8 @@ from humanoid_tpu.config.structs import (
 from humanoid_tpu.env import XBotLEnv
 from humanoid_tpu.parallel.mesh import make_mesh, shard_env_pytree
 
+pytestmark = pytest.mark.slow  # 8-virtual-device sharded training iterations: ~1.5 min
+
 
 def _mini_setup(num_envs=16):
     cfg = XBotLCfg(env=EnvCfg(num_envs=num_envs))

@@ -186,6 +186,7 @@ def _mirror_state(state, act_perm_spec):
     )
 
 
+@pytest.mark.slow
 def test_env_obs_and_reward_mirror():
     """VERDICT next #5: obs of the physically mirrored state == obs_perm
     applied to the original obs (catches sign errors the involution test
@@ -242,6 +243,7 @@ def test_env_obs_and_reward_mirror():
 # training-level
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_sym_loss_end_to_end():
     """ppo_update with sym_loss on: runs, returns a finite positive sym
     loss, and a pure sym-gradient step reduces it."""

@@ -319,6 +319,7 @@ def _stand_at_riser(model, wall: bool, steps=50):
     return np.array(zs), float(s.base_quat[0])
 
 
+@pytest.mark.slow
 def test_riser_cell_floor_is_true_in_trimesh_mode(model):
     """The stairs-dynamics gap VERDICT missing #1 describes, in robot form:
     standing mid-riser-cell, raw bilinear mode buries the feet in a phantom

@@ -55,6 +55,7 @@ def test_push_kicks_base_velocity(session):
     assert np.abs(v1 - v0).max() > 1e-4
 
 
+@pytest.mark.slow
 def test_reset_restores_height(session):
     # knock it over with pushes and steps, then reset
     for _ in range(3):
