@@ -41,6 +41,9 @@ class IterationMetrics(NamedTuple):
     ep_term_count: jnp.ndarray    # episodes ended by failure (not timeout)
     mean_action_std: jnp.ndarray
     rew_terms_mean: jnp.ndarray   # (n_rew,) mean per-step contribution
+    # terrain game-curriculum progression (legged_robot.py:541-560):
+    # mean difficulty row across envs at iteration end (0 on plane)
+    terrain_level_mean: jnp.ndarray
 
 
 class OnPolicyRunner:
@@ -261,6 +264,9 @@ class OnPolicyRunner:
                 jnp.maximum(ts.params["params"]["std"], 1e-3)
             ),
             rew_terms_mean=jnp.mean(rew_terms, axis=0),
+            terrain_level_mean=jnp.mean(
+                env_state.terrain_levels.astype(jnp.float32)
+            ),
         )
         new_carry = IterationCarry(
             train_state=ts, env_state=env_state, obs=obs,

@@ -92,11 +92,16 @@ class SimCfg:
     # the cheap-compile base for CPU tests/dryruns: the PGS XLA fallback
     # graph compiles pathologically slowly on CPU hosts.
     contact_model: str = "penalty"
-    # 8 sweeps converge this 8-contact problem: goldens are bit-for-bit
-    # at the reported precision vs 16 (and vs 6), and the full gated
-    # flagship_pgs/transfer runs hold 26/26 from iter 600 — while the
-    # fused kernel gains ~15% throughput (2.87 -> 3.30 M env-steps/s)
-    pgs_iterations: int = 8
+    # Sweep count for the in-kernel solve. The kernel warm-starts each
+    # substep's sweep from the previous substep's impulses (impulses vary
+    # smoothly at 1 kHz — the standard MuJoCo/PhysX warm start) and
+    # freezes the Delassus operator with the mass matrix
+    # (freeze_mass_matrix), so 6 warm sweeps reach at least cold-8
+    # convergence (goldens were already bit-identical at cold 6 vs 8 vs
+    # 16) while the shipping config clears 4.0 M env-steps/s
+    # (cold-8/round-3: 3.30 M). Validated end-to-end by the round-4
+    # flagship gated run (validation/flagship_warm6).
+    pgs_iterations: int = 6
     pgs_erp: float = 0.024
     pgs_cfm: float = 0.01
     pgs_slop: float = 0.0

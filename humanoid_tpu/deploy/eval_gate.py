@@ -37,7 +37,10 @@ class CheckpointEvalGate:
                  cmd: Tuple[float, float, float] = (0.5, 0.0, 0.0),
                  max_concurrent: int = 4, task: str = "",
                  track_ratio: float = 0.7, min_final_base_z: float = 0.65,
-                 stand_threshold: float = 0.05):
+                 stand_threshold: float = 0.05,
+                 extra_argv: Tuple[str, ...] = (),
+                 jsonl_name: str = "eval_gate.jsonl",
+                 export: bool = True):
         self.log_dir = log_dir
         self.duration = duration
         self.cmd = cmd
@@ -46,6 +49,12 @@ class CheckpointEvalGate:
         self.track_ratio = track_ratio
         self.min_final_base_z = min_final_base_z
         self.stand_threshold = stand_threshold
+        # extra sim2sim CLI flags (e.g. ("--terrain",) to replay on the
+        # reference's terrain MJCF, XBot-L-terrain.xml + uneven.png) and a
+        # distinct verdict file so two gates can watch one run
+        self.extra_argv = tuple(extra_argv)
+        self.jsonl_name = jsonl_name
+        self.export = export
         # heading-mode policies (cfg.commands.heading_command, the XBot
         # default) are trained with wyaw recomputed from the heading error
         # every step; replaying them with a constant wyaw=0 leaves yaw
@@ -61,7 +70,7 @@ class CheckpointEvalGate:
                 self.heading_hold = bool(env_cfg.commands.heading_command)
             except Exception:
                 pass
-        self.jsonl_path = os.path.join(log_dir, "eval_gate.jsonl")
+        self.jsonl_path = os.path.join(log_dir, self.jsonl_name)
         self._procs: List[Tuple[int, str, subprocess.Popen, float]] = []
         # exported-but-not-yet-replayed checkpoints: training on the chip
         # outruns CPU MuJoCo replays by ~10x, so instead of skipping on
@@ -74,10 +83,11 @@ class CheckpointEvalGate:
     # -- checkpoint hook (called by OnPolicyRunner.save) ------------------
 
     def __call__(self, runner, ckpt_path: str, iteration: int) -> None:
-        from .export import export_policy_npz
-
         npz = os.path.join(self.log_dir, f"gate_policy_{iteration}.npz")
-        export_policy_npz(runner.train_state.params, npz)
+        if self.export:
+            from .export import export_policy_npz
+
+            export_policy_npz(runner.train_state.params, npz)
         self._queue.append((iteration, npz))
         self.poll()
 
@@ -86,15 +96,19 @@ class CheckpointEvalGate:
         env["PALLAS_AXON_POOL_IPS"] = ""    # CPU-only subprocess
         env["JAX_PLATFORMS"] = "cpu"
         env.setdefault("MUJOCO_GL", "disable")
+        dash = "gate_dashboard_" + (
+            f"{iteration}.png" if self.jsonl_name == "eval_gate.jsonl"
+            else f"{self.jsonl_name.rsplit('.', 1)[0]}_{iteration}.png"
+        )
         argv = [sys.executable, "-m", "humanoid_tpu.deploy.sim2sim",
                 "--load-model", npz, "--duration", str(self.duration),
                 "--cmd", *map(str, self.cmd),
-                "--plot",
-                os.path.join(self.log_dir, f"gate_dashboard_{iteration}.png")]
+                "--plot", os.path.join(self.log_dir, dash)]
         if self.task:
             argv += ["--task", self.task]
         if self.heading_hold:
             argv += ["--heading-hold"]
+        argv += list(self.extra_argv)
         proc = subprocess.Popen(
             argv,
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,

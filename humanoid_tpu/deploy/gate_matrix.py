@@ -135,7 +135,15 @@ def judge_cell(cell: GateCell, metrics: dict, states: np.ndarray,
         seg = {"t": [round(s0, 1), round(s1, 1)], "cmd": list(cmd),
                "v_mean": [round(float(v), 3) for v in vmean],
                "yaw_rate": round(float(yaw_rate), 3)}
-        if cmd_speed > 0.05:
+        turning = abs(cmd[2]) > 0.05 and not cell.heading_hold
+        if turning:
+            # a commanded turn walks a circular arc: the world-frame mean
+            # velocity is small by construction, so judge the yaw rate
+            # (plus survive/upright) instead of straight-line tracking
+            seg["ok"] = bool(
+                yaw_rate * cmd[2] >= cell.track_ratio * cmd[2] * cmd[2]
+            )
+        elif cmd_speed > 0.05:
             # commanded direction in the heading frame; under heading-hold
             # the heading stays ~= the segment's initial yaw
             c, s = math.cos(yaw0), math.sin(yaw0)
@@ -143,15 +151,11 @@ def judge_cell(cell: GateCell, metrics: dict, states: np.ndarray,
                                   s * cmd_xy[0] + c * cmd_xy[1]]) / cmd_speed
             v_along = float(vmean @ dir_world)
             seg["v_along"] = round(v_along, 3)
-            seg["ok"] = v_along >= cell.track_ratio * cmd_speed
+            seg["ok"] = bool(v_along >= cell.track_ratio * cmd_speed)
         else:
             drift = float(np.linalg.norm(xy1 - xy0))
             seg["drift_m"] = round(drift, 3)
-            seg["ok"] = drift <= cell.stand_drift_m
-        if abs(cmd[2]) > 0.05 and not cell.heading_hold:
-            seg["ok"] = seg["ok"] and (
-                yaw_rate * cmd[2] >= cell.track_ratio * cmd[2] * cmd[2]
-            )
+            seg["ok"] = bool(drift <= cell.stand_drift_m)
         segs.append(seg)
     rec["segments"] = segs
     bad = [s for s in segs if not s["ok"]]

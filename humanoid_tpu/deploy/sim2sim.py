@@ -114,6 +114,50 @@ def cfg_for_task(task: str, duration: float = 60.0) -> Sim2simCfg:
     return cfg
 
 
+def _hfield_lookup(model):
+    """Returns ground_z(x, y) sampling the model's heightfield (bilinear),
+    or None when the model has no hfield (flat replays keep exact absolute
+    semantics). MuJoCo normalizes hfield data to [0,1] and scales by
+    size[2]; without this offset the robot spawns with its legs buried in
+    the local hill (the reference terrain MJCF's uneven.png rises to
+    0.28 m at the origin) and every replay dies at t~2 s."""
+    import mujoco
+
+    hid = None
+    gpos = None
+    for g in range(model.ngeom):
+        if model.geom_type[g] == mujoco.mjtGeom.mjGEOM_HFIELD:
+            hid = int(model.geom_dataid[g])
+            gpos = model.geom_pos[g].copy()
+            break
+    if hid is None:
+        return None
+    nrow = int(model.hfield_nrow[hid])
+    ncol = int(model.hfield_ncol[hid])
+    rx, ry, elev, _ = model.hfield_size[hid]
+    data = model.hfield_data[
+        model.hfield_adr[hid]:model.hfield_adr[hid] + nrow * ncol
+    ].reshape(nrow, ncol)
+
+    def ground_z(x, y):
+        # row = y axis, col = x axis (MuJoCo hfield convention)
+        fx = (x - gpos[0] + rx) / (2 * rx) * (ncol - 1)
+        fy = (y - gpos[1] + ry) / (2 * ry) * (nrow - 1)
+        fx = min(max(fx, 0.0), ncol - 1.001)
+        fy = min(max(fy, 0.0), nrow - 1.001)
+        x0, y0 = int(fx), int(fy)
+        tx, ty = fx - x0, fy - y0
+        h = (
+            data[y0, x0] * (1 - tx) * (1 - ty)
+            + data[y0, x0 + 1] * tx * (1 - ty)
+            + data[y0 + 1, x0] * (1 - tx) * ty
+            + data[y0 + 1, x0 + 1] * tx * ty
+        )
+        return float(h) * elev + gpos[2]
+
+    return ground_z
+
+
 def _quat_to_euler(quat_wxyz):
     w, x, y, z = quat_wxyz
     roll = math.atan2(2 * (w * x + y * z), 1 - 2 * (x * x + y * y))
@@ -151,7 +195,9 @@ def run_mujoco(
     # initial pose: default joint angles + base height (sim2sim.py:141-166;
     # qpos base z is relative to the MJCF body offset)
     data.qpos[-cfg.num_actions:] = np.asarray(cfg.default_pos)
-    data.qpos[2] = cfg.base_init_z - model.body_pos[base_id][2]
+    ground = _hfield_lookup(model)
+    spawn_gz = ground(0.0, 0.0) if ground is not None else 0.0
+    data.qpos[2] = cfg.base_init_z + spawn_gz - model.body_pos[base_id][2]
     mujoco.mj_step(model, data)
 
     nj = cfg.num_actions
@@ -258,6 +304,10 @@ def run_mujoco(
             recorder.add_qpos(data.qpos)
 
         base_z = data.qpos[2] + model.body_pos[base_id][2]
+        if ground is not None:
+            # height relative to the LOCAL ground (a fallen robot on a
+            # 0.3 m hill still reads base_z ~0.55 absolute)
+            base_z = base_z - ground(data.qpos[0], data.qpos[1])
         if record_states and count_lowlevel % cfg.decimation == 0:
             states.append(
                 np.concatenate([data.qpos.copy(), data.qvel.copy()])
@@ -302,11 +352,14 @@ def run_mujoco(
     if recorder is not None:
         print(f"video: {recorder.close()} ({recorder.frames} frames)")
     dist = float(np.linalg.norm(data.qpos[0:2] - start_xy))
+    final_z = float(data.qpos[2] + model.body_pos[base_id][2])
+    if ground is not None:
+        final_z -= ground(data.qpos[0], data.qpos[1])
     out = {
         "survived_s": float(survived),
         "distance_m": dist,
         "mean_speed": dist / max(survived, 1e-6),
-        "final_base_z": float(data.qpos[2] + model.body_pos[base_id][2]),
+        "final_base_z": final_z,
     }
     if record_states:
         out["states"] = np.array(states)

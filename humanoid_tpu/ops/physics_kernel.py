@@ -419,8 +419,81 @@ def _contact(pos, quat, v_sp, anchors, w_ax, mu, mk, one, planes=None,
     return tau_gen, foot_f, term_f
 
 
+def _pgs_prepare(pos, quat, anchors, w_ax, L, invd, mk, one, planes=None):
+    """Configuration-dependent PGS structures: contact frames, sparse
+    Jacobian rows, and the Delassus operator A = J M^-1 J^T. Under
+    freeze_mass_matrix these are built ONCE per control step from the
+    entry configuration (like the Cholesky factor itself) and reused by
+    every substep — point positions drift <~1 mm within the 10 ms window,
+    so A changes by <~0.5% while the expensive part of the solve
+    (24 triangular solves + the symmetric fill) drops out of the substep
+    loop. Penetrations/bias/velocities stay per-substep (_pgs_apply)."""
+    nj = mk["nj"]
+    nv = nj + 6
+    A0 = pos[0]
+    zero = 0.0 * one
+
+    foot_pts = [(i, cp) for i, cp in enumerate(mk["contact_pts"])
+                if cp[2] is not None]
+    K = len(foot_pts)
+    R = 3 * K
+    rowsJ = []       # (base6 lane-list, {joint: lane}) per constraint row
+    frames = []      # (n, t1, t2) lane 3-lists per point
+    for pt_i, (b, off, foot_i, rad) in foot_pts:
+        o = _qrot(quat[b], [off[0] * one, off[1] * one, off[2] * one])
+        p = [pos[b][i] + o[i] for i in range(3)]
+        rel = [p[i] - A0[i] for i in range(3)]
+        if planes is None:
+            n = [zero, zero, one]
+            t1 = [one, zero, zero]
+            t2 = [zero, one, zero]
+        else:
+            c0, gx, gy = planes[pt_i]
+            inv_l = jax.lax.rsqrt(1.0 + gx * gx + gy * gy)
+            n = [-gx * inv_l, -gy * inv_l, inv_l]
+            # branchless tangent basis: a = x-axis where |n_x|<0.9 else y
+            ux = (jnp.abs(n[0]) < 0.9).astype(one.dtype)
+            a = [ux, 1.0 - ux, zero]
+            t1 = _cross(n, a)
+            it1 = jax.lax.rsqrt(
+                t1[0] * t1[0] + t1[1] * t1[1] + t1[2] * t1[2] + 1e-12
+            )
+            t1 = [t1[i] * it1 for i in range(3)]
+            t2 = _cross(n, t1)
+        frames.append((n, t1, t2))
+        for d in (n, t1, t2):
+            Jw = _cross(rel, d)              # omega part: r x d
+            jd = {}
+            for k in mk["body_anc_joints"][b]:
+                lin_j = _cross(anchors[k], w_ax[k])
+                wxr = _cross(w_ax[k], rel)
+                jd[k] = (
+                    d[0] * (lin_j[0] + wxr[0])
+                    + d[1] * (lin_j[1] + wxr[1])
+                    + d[2] * (lin_j[2] + wxr[2])
+                )
+            rowsJ.append((Jw + list(d), jd))
+
+    # Delassus A = J M^-1 J^T (symmetric; one solve per column)
+    Amat = [[None] * R for _ in range(R)]
+    for c in range(R):
+        Jc6, jdc = rowsJ[c]
+        dense = Jc6 + [jdc.get(k, zero) for k in range(nj)]
+        Wc = _chol_solve(L, invd, dense, nv)
+        for r in range(c + 1):
+            Jr6, jdr = rowsJ[r]
+            s = Jr6[0] * Wc[0]
+            for i in range(1, 6):
+                s = s + Jr6[i] * Wc[i]
+            for k, val in jdr.items():
+                s = s + val * Wc[6 + k]
+            Amat[r][c] = s
+            Amat[c][r] = s
+    return rowsJ, frames, Amat
+
+
 def _pgs_contact(pos, quat, v_sp, anchors, w_ax, mu, u, tau, C, L, invd,
-                 mk, one, planes=None):
+                 mk, one, planes=None, prep=None, lam0=None):
     """Constraint-based foot contact inside the kernel: the block-PGS
     impulse solve of physics/pgs.py in scalar-per-lane form.
 
@@ -428,12 +501,17 @@ def _pgs_contact(pos, quat, v_sp, anchors, w_ax, mu, u, tau, C, L, invd,
     then per foot point 0 <= lam_n _|_ v_n+ + b + gam lam_n >= 0 with the
     Coulomb cone on the tangentials, swept by PGS (fori_loop over
     iterations, contacts unrolled). Termination proxy spheres stay on the
-    penalty model (falls only). Returns (u_plus (nv,), foot_f, term_f)."""
+    penalty model (falls only). prep, when given, is a frozen
+    (rowsJ, frames, Amat) from _pgs_prepare; penetrations, bias and
+    velocities are always fresh. lam0, when given, warm-starts the sweep
+    from the previous substep's impulses (contact impulses vary smoothly
+    across 1 ms substeps, so the sweep starts near the solution — the
+    standard PGS warm start, same as MuJoCo's warmstart accel / PhysX).
+    Returns (u_plus (nv,), foot_f, term_f, lam)."""
     nj = mk["nj"]
     nv = nj + 6
     dt = mk["dt"]
     pg = mk["pgs"]
-    A0 = pos[0]
     zero = 0.0 * one
 
     foot_pts = [(i, cp) for i, cp in enumerate(mk["contact_pts"])
@@ -453,68 +531,30 @@ def _pgs_contact(pos, quat, v_sp, anchors, w_ax, mu, u, tau, C, L, invd,
     udot_free = _chol_solve(L, invd, rhs, nv)
     u_free = [u[i] + dt * udot_free[i] for i in range(nv)]
 
-    # per-point kinematics, contact frame, sparse Jacobian rows
+    if prep is None:
+        prep = _pgs_prepare(pos, quat, anchors, w_ax, L, invd, mk, one,
+                            planes=planes)
+    rowsJ, frames, Amat = prep
     K = len(foot_pts)
     R = 3 * K
-    rowsJ = []       # (base6 lane-list, {joint: lane}) per constraint row
-    frames = []      # (n, t1, t2) lane 3-lists per point
+
+    # fresh penetrations (current positions against the frozen frames)
     phi_l = []
     for pt_i, (b, off, foot_i, rad) in foot_pts:
         o = _qrot(quat[b], [off[0] * one, off[1] * one, off[2] * one])
         p = [pos[b][i] + o[i] for i in range(3)]
-        rel = [p[i] - A0[i] for i in range(3)]
         if planes is None:
-            phi = p[2]
-            n = [zero, zero, one]
-            t1 = [one, zero, zero]
-            t2 = [zero, one, zero]
+            phi_l.append(p[2])
         else:
             c0, gx, gy = planes[pt_i]
             phi_z = p[2] - (c0 + gx * p[0] + gy * p[1])
             inv_l = jax.lax.rsqrt(1.0 + gx * gx + gy * gy)
-            n = [-gx * inv_l, -gy * inv_l, inv_l]
-            phi = phi_z * inv_l
-            # branchless tangent basis: a = x-axis where |n_x|<0.9 else y
-            ux = (jnp.abs(n[0]) < 0.9).astype(one.dtype)
-            a = [ux, 1.0 - ux, zero]
-            t1 = _cross(n, a)
-            it1 = jax.lax.rsqrt(
-                t1[0] * t1[0] + t1[1] * t1[1] + t1[2] * t1[2] + 1e-12
-            )
-            t1 = [t1[i] * it1 for i in range(3)]
-            t2 = _cross(n, t1)
-        frames.append((n, t1, t2))
-        phi_l.append(phi)
-        for d in (n, t1, t2):
-            Jw = _cross(rel, d)              # omega part: r x d
-            jd = {}
-            for k in mk["body_anc_joints"][b]:
-                lin_j = _cross(anchors[k], w_ax[k])
-                wxr = _cross(w_ax[k], rel)
-                jd[k] = (
-                    d[0] * (lin_j[0] + wxr[0])
-                    + d[1] * (lin_j[1] + wxr[1])
-                    + d[2] * (lin_j[2] + wxr[2])
-                )
-            rowsJ.append((Jw + list(d), jd))
+            phi_l.append(phi_z * inv_l)
 
-    # Delassus A = J M^-1 J^T (symmetric; one half-solve per column) and
     # v_free in contact coordinates
-    Amat = [[None] * R for _ in range(R)]
     vf = []
     for c in range(R):
         Jc6, jdc = rowsJ[c]
-        dense = Jc6 + [jdc.get(k, zero) for k in range(nj)]
-        Wc = _chol_solve(L, invd, dense, nv)
-        for r in range(c + 1):
-            Jr6, jdr = rowsJ[r]
-            s = Jr6[0] * Wc[0]
-            for i in range(1, 6):
-                s = s + Jr6[i] * Wc[i]
-            for k, val in jdr.items():
-                s = s + val * Wc[6 + k]
-            Amat[r][c] = s
-            Amat[c][r] = s
         s = Jc6[0] * u_free[0]
         for i in range(1, 6):
             s = s + Jc6[i] * u_free[i]
@@ -562,7 +602,8 @@ def _pgs_contact(pos, quat, v_sp, anchors, w_ax, mu, u, tau, C, L, invd,
         return tuple(lam)
 
     lam = jax.lax.fori_loop(
-        0, pg["iters"], sweep, tuple(zero for _ in range(R))
+        0, pg["iters"], sweep,
+        tuple(zero for _ in range(R)) if lam0 is None else tuple(lam0),
     )
 
     # u+ = u_free + M^-1 J^T lam
@@ -585,7 +626,7 @@ def _pgs_contact(pos, quat, v_sp, anchors, w_ax, mu, u, tau, C, L, invd,
                 n[i] * lam[3 * k] + t1[i] * lam[3 * k + 1]
                 + t2[i] * lam[3 * k + 2]
             ) / dt
-    return u_plus, foot_f, term_f
+    return u_plus, foot_f, term_f, lam
 
 
 def _integrate_from_u(base_pos, base_quat, qj, u, u_plus, mk, one):
@@ -645,12 +686,15 @@ def _integrate(base_pos, base_quat, qj, u, udot_sp, mk, one):
 
 def _substep_core(base_pos, base_quat, qj, u, masses, mu, targets, mk, one,
                   frozen_chol=None, gains=None, com=None, inertia=None,
-                  planes=None):
+                  planes=None, pgs_prep=None, lam0=None):
     """One full substep from unpacked lane vectors. frozen_chol, if given,
     is a precomputed (L, invd) reused instead of factoring this substep's
-    mass matrix. gains/com/inertia/planes are the optional per-env
+    mass matrix; pgs_prep likewise a frozen (rowsJ, frames, Amat) from
+    _pgs_prepare; lam0 a warm-start impulse from the previous substep.
+    gains/com/inertia/planes are the optional per-env
     domain-randomization / terrain inputs (see _pd_torque,
-    _spatial_inertias, _contact). Returns (new state rows, diag pieces)."""
+    _spatial_inertias, _contact). Returns (new state rows, diag pieces,
+    lam — None on the penalty path)."""
     nv = mk["nj"] + 6
     tau = _pd_torque(qj, u, targets, mk, gains=gains)
     pos, quat = _fk(base_pos, base_quat, qj, mk, one)
@@ -663,15 +707,15 @@ def _substep_core(base_pos, base_quat, qj, u, masses, mu, targets, mk, one,
     else:
         L, invd = frozen_chol
     if mk.get("pgs") is not None:
-        u_plus, foot_f, term_f = _pgs_contact(
+        u_plus, foot_f, term_f, lam = _pgs_contact(
             pos, quat, v_sp, anchors, w_ax, mu, u, tau, C, L, invd, mk,
-            one, planes=planes,
+            one, planes=planes, prep=pgs_prep, lam0=lam0,
         )
         new_pos, new_quat, new_qj, u_new = _integrate_from_u(
             base_pos, base_quat, qj, u, u_plus, mk, one
         )
         diag = (pos, quat, v_sp, foot_f, term_f, tau)
-        return new_pos, new_quat, new_qj, u_new, diag
+        return new_pos, new_quat, new_qj, u_new, diag, lam
     tau_gen, foot_f, term_f = _contact(
         pos, quat, v_sp, anchors, w_ax, mu, mk, one, planes=planes
     )
@@ -683,7 +727,7 @@ def _substep_core(base_pos, base_quat, qj, u, masses, mu, targets, mk, one,
         base_pos, base_quat, qj, u, udot, mk, one
     )
     diag = (pos, quat, v_sp, foot_f, term_f, tau)
-    return new_pos, new_quat, new_qj, u_new, diag
+    return new_pos, new_quat, new_qj, u_new, diag, None
 
 
 def _write_diag(diag_ref, diag, mk):
@@ -782,7 +826,7 @@ def _substep_kernel(
     one = jnp.ones_like(mu)
     gains, com, inertia, planes = _unpack_extras(extra_refs, mk, feats)
 
-    new_pos, new_quat, new_qj, u_new, diag = _substep_core(
+    new_pos, new_quat, new_qj, u_new, diag, _lam = _substep_core(
         base_pos, base_quat, qj, u, masses, mu, targets, mk, one,
         gains=gains, com=com, inertia=inertia, planes=planes,
     )
@@ -822,27 +866,46 @@ def _control_kernel(
     gains, com, inertia, planes = _unpack_extras(extra_refs, mk, feats)
 
     loop_chol = None
+    loop_prep = None
     if freeze:
         pos0, quat0 = _fk(base_pos, base_quat, qj, mk, one)
-        S0, _, _ = _screws(pos0, quat0, mk, one)
+        S0, w_ax0, anchors0 = _screws(pos0, quat0, mk, one)
         I0 = _spatial_inertias(pos0, quat0, masses, mk, one, com=com,
                                inertia=inertia)
         # the factor is closed over by the loop body: loop-invariant lane
         # vectors (None entries are compile-time structural zeros)
         loop_chol = _crba_chol(S0, I0, mk, one)
+        if mk.get("pgs") is not None:
+            # freeze the PGS contact frames/Jacobians/Delassus with the
+            # mass matrix (same entry-configuration approximation);
+            # penetrations/bias/velocities stay per-substep
+            loop_prep = _pgs_prepare(
+                pos0, quat0, anchors0, w_ax0, loop_chol[0], loop_chol[1],
+                mk, one, planes=planes,
+            )
+
+    # warm-start impulse carried across substeps (PGS path only): contact
+    # impulses vary smoothly at 1 kHz, so each substep's sweep starts near
+    # its solution
+    n_foot_pts = sum(1 for cp in mk["contact_pts"] if cp[2] is not None)
+    R = 3 * n_foot_pts if mk.get("pgs") is not None else 0
+    zero = 0.0 * one
 
     def body(_, carry):
-        bp, bq, q, uu = carry
-        np_, nq, nqj, nu, diag = _substep_core(
+        bp, bq, q, uu, lam = carry
+        np_, nq, nqj, nu, diag, nlam = _substep_core(
             list(bp), list(bq), list(q), list(uu), masses, mu, targets, mk,
             one, frozen_chol=loop_chol, gains=gains, com=com,
-            inertia=inertia, planes=planes,
+            inertia=inertia, planes=planes, pgs_prep=loop_prep,
+            lam0=list(lam) if R else None,
         )
         _write_diag(diag_ref, diag, mk)
-        return (tuple(np_), tuple(nq), tuple(nqj), tuple(nu))
+        return (tuple(np_), tuple(nq), tuple(nqj), tuple(nu),
+                tuple(nlam) if R else ())
 
-    carry = (tuple(base_pos), tuple(base_quat), tuple(qj), tuple(u))
-    bp, bq, q, uu = jax.lax.fori_loop(0, decimation, body, carry)
+    carry = (tuple(base_pos), tuple(base_quat), tuple(qj), tuple(u),
+             tuple(zero for _ in range(R)))
+    bp, bq, q, uu, _ = jax.lax.fori_loop(0, decimation, body, carry)
 
     row = 0
     for v in list(bp) + list(bq) + list(q) + list(uu):

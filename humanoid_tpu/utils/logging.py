@@ -79,6 +79,10 @@ class TrainLogger:
             "Perf/total_fps": fps,
             "Perf/iter_time": iter_time,
         }
+        tl = float(getattr(m, "terrain_level_mean", 0.0))
+        if tl:
+            # terrain game-curriculum progression (terrain tasks only)
+            scalars["Train/terrain_level_mean"] = tl
         rew_means = {}
         for name, v in zip(self.reward_names, m.ep_rew_sums):
             val = float(v) / ep_count / self.episode_length_s

@@ -265,6 +265,42 @@ def _register_builtin():
         ),
         XBotLCfgPPO(),
     )
+    # omnidirectional-envelope recipe (VERDICT r3 next #4): the transfer
+    # recipe's contact/DR/rewards with command sampling widened past the
+    # gate-matrix cells (backward -0.3, lateral +-0.3) so those
+    # directions stop being the rarely-sampled edge of the training box —
+    # the round-3 transfer policy measured 0.12 m/s under a -0.3 backward
+    # command and ~0.19 m/s under +-0.3 lateral (0.41x/0.63x of command,
+    # below the 0.7x matrix bar)
+    from ..config.structs import CommandRangesCfg, CommandsCfg as _Cmds
+
+    register(
+        "humanoid_ppo_omni",
+        XBotLEnv,
+        XBotLCfg(
+            sim=_pgs,
+            domain_rand=DomainRandCfg(
+                randomize_link_mass=True,
+                randomize_base_com=True,
+                randomize_inertia=True,
+                randomize_motor_strength=True,
+                randomize_motor_offset=True,
+                randomize_kp_factor=True,
+                randomize_kd_factor=True,
+                randomize_lag_timesteps=True,
+            ),
+            commands=_Cmds(
+                ranges=CommandRangesCfg(
+                    lin_vel_x=(-0.5, 0.6), lin_vel_y=(-0.4, 0.4),
+                )
+            ),
+            rewards=RewardsCfg(
+                low_speed_lo=0.7,
+                scales=RewardScalesCfg(tracking_lin_vel=2.4),
+            ),
+        ),
+        XBotLCfgPPO(),
+    )
     # BASELINE.json config 4: 8192 envs with observation noise and the
     # per-checkpoint sim2sim gate. Obs noise is already on in the default
     # config (NoiseCfg.add_noise=True, matching the reference), so the only

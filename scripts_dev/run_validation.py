@@ -31,7 +31,9 @@ LOG_ROOT = "/tmp/validation_runs"
 
 def run_one(tag: str, task: str, iters: int, train_mut=None,
             gate_s: float | None = None, seed: int | None = None,
-            defer_gate: bool = False, env_mut=None):
+            defer_gate: bool = False, env_mut=None,
+            terrain_gate: bool = False, terrain_cmd=(0.5, 0.0, 0.0),
+            matrix: bool = False):
     """Train one run. Returns (summary, finish) where finish() drains the
     eval gate (if any) and writes the final summary/artifacts. With
     defer_gate the caller invokes finish() later, so CPU MuJoCo replays
@@ -57,10 +59,28 @@ def run_one(tag: str, task: str, iters: int, train_mut=None,
     )
     logger = TrainLogger(runner.log_dir, env.reward_names, env_cfg, tcfg)
     gate = None
+    gate_t = None
     if gate_s:
         gate = CheckpointEvalGate(runner.log_dir, duration=gate_s,
                                   task=task, max_concurrent=2)
         runner.on_checkpoint = gate
+        if terrain_gate:
+            # second verdict stream: same checkpoints replayed on the
+            # reference's terrain MJCF (XBot-L-terrain.xml + uneven.png,
+            # ~+-17 cm bumps) — the reference lineage's terrain
+            # acceptance surface (VERDICT r3 next #1)
+            gate_t = CheckpointEvalGate(
+                runner.log_dir, duration=gate_s, task=task,
+                max_concurrent=1, extra_argv=("--terrain",),
+                cmd=terrain_cmd,
+                jsonl_name="eval_gate_terrain.jsonl", export=False,
+            )
+
+            def on_ckpt(r, p, it, _g=gate, _gt=gate_t):
+                _g(r, p, it)
+                _gt(r, p, it)
+
+            runner.on_checkpoint = on_ckpt
 
     def log_fn(it, m, fps, dt):
         s = logger.log(it, m, fps, dt)
@@ -75,6 +95,8 @@ def run_one(tag: str, task: str, iters: int, train_mut=None,
     logger.close()
     if gate is not None and defer_gate:
         gate.drain_async()
+    if gate_t is not None and defer_gate:
+        gate_t.drain_async()
 
     import jax
 
@@ -108,9 +130,41 @@ def run_one(tag: str, task: str, iters: int, train_mut=None,
     def finish():
         if gate is not None:
             gate.wait_all(timeout=7200)
+        if gate_t is not None:
+            gate_t.wait_all(timeout=7200)
         out_dir = os.path.join(VAL_ROOT, tag)
         os.makedirs(out_dir, exist_ok=True)
-        for f in ("metrics.jsonl", "eval_gate.jsonl"):
+        if matrix:
+            # command-matrix + push-recovery gate on the FINAL checkpoint
+            # (VERDICT r3 next #4; per-cell verdicts committed)
+            import subprocess
+            import sys as _sys
+
+            npz = os.path.join(runner.log_dir, f"gate_policy_{iters}.npz")
+            if not os.path.exists(npz):
+                from humanoid_tpu.deploy.export import export_policy_npz
+
+                export_policy_npz(runner.train_state.params, npz)
+            menv = dict(os.environ)
+            menv["PALLAS_AXON_POOL_IPS"] = ""
+            menv["JAX_PLATFORMS"] = "cpu"
+            mj = os.path.join(runner.log_dir, "gate_matrix.jsonl")
+            r = subprocess.run(
+                [_sys.executable, "-m", "humanoid_tpu.deploy.gate_matrix",
+                 "--load-model", npz, "--task", task, "--out", mj],
+                env=menv, cwd="/root/repo", capture_output=True, text=True,
+                timeout=3600,
+            )
+            print(r.stdout[-2000:], flush=True)
+            n_cells = n_pass_cells = 0
+            if os.path.exists(mj):
+                for line in open(mj):
+                    n_cells += 1
+                    n_pass_cells += bool(json.loads(line).get("passed"))
+            summary["matrix_cells_passed"] = n_pass_cells
+            summary["matrix_cells_total"] = n_cells
+        for f in ("metrics.jsonl", "eval_gate.jsonl",
+                  "eval_gate_terrain.jsonl", "gate_matrix.jsonl"):
             p = os.path.join(runner.log_dir, f)
             if os.path.exists(p):
                 shutil.copy(p, out_dir)
@@ -131,6 +185,15 @@ def run_one(tag: str, task: str, iters: int, train_mut=None,
             summary["gate_passed_from_600"] = sum(
                 1 for r in late if r.get("passed"))
             summary["gate_total_from_600"] = len(late)
+        if gate_t is not None:
+            late_t = [r for r in gate_t.results
+                      if r.get("iteration", 0) >= 600]
+            summary["terrain_gate_passed"] = sum(
+                1 for r in gate_t.results if r.get("passed"))
+            summary["terrain_gate_total"] = len(gate_t.results)
+            summary["terrain_gate_passed_from_600"] = sum(
+                1 for r in late_t if r.get("passed"))
+            summary["terrain_gate_total_from_600"] = len(late_t)
         with open(os.path.join(out_dir, "summary.json"), "w") as f:
             json.dump(summary, f, indent=1)
         print(f"[{tag}] done: {summary}", flush=True)
@@ -181,16 +244,64 @@ def main() -> None:
          42),
         # symmetry-loss variant, trained end-to-end (VERDICT r2 next #7)
         ("sym", "humanoid_ppo_sym", full_iters, None, 60.0, None),
+        # --- round-4 rows ---
+        # terrain curriculum (BASELINE config 3, VERDICT r3 next #1):
+        # heightfield + 187-pt height scan in the critic + PGS contact,
+        # Pallas heightfield sampler; gated per checkpoint on BOTH the
+        # flat reference MJCF and the reference terrain MJCF
+        ("terrain_pgs", "humanoid_ppo_terrain", full_iters, None, 60.0,
+         None),
+        # trimesh-collision variant over the generic base generator set
+        ("trimesh_pgs", "humanoid_ppo_trimesh", full_iters, None, 60.0,
+         None),
+        # the shipping default end-to-end: humanoid_ppo now = PGS contact
+        # with 6 warm-started sweeps + frozen Delassus (4.0 M env-steps/s)
+        # — gate + command matrix prove the round-4 solver defaults
+        ("flagship_warm6", "humanoid_ppo", full_iters, None, 60.0, None,
+         dict(matrix=True)),
+        # omnidirectional-envelope recipe (VERDICT r3 next #4): widened
+        # command box; judged on the full gate matrix
+        ("omni", "humanoid_ppo_omni", full_iters, None, 60.0, None,
+         dict(matrix=True)),
+        # terrain round 2: extended DR on the terrain curriculum, 2x
+        # training budget, terrain-MJCF gate at a terrain-appropriate
+        # 0.3 m/s command (the uneven.png surface has ~30% grades)
+        ("terrain2", "humanoid_ppo_terrain", 6000, None, 60.0, None,
+         dict(terrain_gate=True, terrain_cmd=(0.3, 0.0, 0.0),
+              env_mut=_terrain_dr)),
     ]
+    terrain_rows = {"terrain_pgs", "trimesh_pgs"}
     pending = []
-    for tag, task, iters, mut, gate_s, seed in agenda:
+    for row in agenda:
+        tag, task, iters, mut, gate_s, seed = row[:6]
+        kw = dict(row[6]) if len(row) > 6 else {}
         if only and tag != only:
             continue
+        kw.setdefault("terrain_gate", tag in terrain_rows)
         _, finish = run_one(tag, task, iters, mut, gate_s, seed=seed,
-                            defer_gate=True)
+                            defer_gate=True, **kw)
         pending.append(finish)
     results = [finish() for finish in pending]
     print(json.dumps(results, indent=1))
+
+
+def _terrain_dr(cfg):
+    """Extended DR (the transfer recipe's robustness axis) on the terrain
+    task: link mass/COM/inertia + motor randomization + action lag."""
+    from humanoid_tpu.config.structs import DomainRandCfg
+
+    return cfg.replace(
+        domain_rand=DomainRandCfg(
+            randomize_link_mass=True,
+            randomize_base_com=True,
+            randomize_inertia=True,
+            randomize_motor_strength=True,
+            randomize_motor_offset=True,
+            randomize_kp_factor=True,
+            randomize_kd_factor=True,
+            randomize_lag_timesteps=True,
+        )
+    )
 
 
 if __name__ == "__main__":
