@@ -318,8 +318,13 @@ class TerrainCfg:
     num_rows: int = 10              # difficulty levels
     num_cols: int = 20              # terrain types
     max_init_terrain_level: int = 5
-    # proportions: [smooth slope, rough slope, stairs up, stairs down,
-    # discrete, stepping stones, gap]
+    # proportions — meaning depends on generator_set:
+    #   "humanoid": [flat, discrete, rough, slope up, slope down,
+    #                stairs up, stairs down, uneven]  (slot 8 "uneven" =
+    #                long-wavelength rough matching the reference terrain
+    #                MJCF's uneven.png spectrum; see env/terrain.py)
+    #   "base":     [smooth slope, rough slope, stairs up, stairs down,
+    #                discrete, stepping stones, gap; remainder = pit]
     terrain_proportions: Tuple[float, ...] = _t(0.2, 0.2, 0.4, 0.1, 0.1, 0, 0)
     slope_treshold: float = 0.75
     env_spacing: float = 3.0        # plane grid spacing

@@ -167,12 +167,23 @@ def humanoid_make_terrain(cfg: TerrainCfg, choice: float, difficulty: float,
                           size_px: int, rng) -> SubTerrain:
     """HumanoidTerrain.make_terrain (terrain.py:200-231): gentler set —
     [flat, discrete obstacles, rough, slope up, slope down, stairs up,
-    stairs down, flat] selected by cumulative proportions."""
+    stairs down, uneven, flat] selected by cumulative proportions.
+
+    Slot 8 ("uneven") is our extension past the reference generator set:
+    long-wavelength rough terrain with the statistics of the reference's
+    own deployment oracle (XBot-L-terrain.xml + terrain/uneven.png —
+    independent uniform node heights spanning 0.35 m on a ~1 m lattice,
+    MuJoCo-normalized to size="50 50 0.35"). The reference's rough
+    primitive (±0.07·d at 0.2 m wavelength) never produces that spectrum,
+    which is why round-3 terrain policies walked the curriculum but fell
+    within 2 s on the terrain MJCF; at difficulty 0.9 this slot reaches
+    ±0.18 m (0.36 m range) at 1 m wavelength — the oracle's amplitude."""
     t = SubTerrain(size_px, cfg.horizontal_scale, cfg.vertical_scale)
     props = np.cumsum(cfg.terrain_proportions)
     obstacle_h = difficulty * 0.04
     r_height = difficulty * 0.07
     h_slope = difficulty * 0.15
+    u_height = difficulty * 0.2
     if choice < props[0]:
         pass  # flat
     elif len(props) > 1 and choice < props[1]:
@@ -188,6 +199,9 @@ def humanoid_make_terrain(cfg: TerrainCfg, choice: float, difficulty: float,
         pyramid_stairs_terrain(t, 0.4, obstacle_h, platform_size=1.0)
     elif len(props) > 6 and choice < props[6]:
         pyramid_stairs_terrain(t, 0.4, -obstacle_h, platform_size=1.0)
+    elif len(props) > 7 and choice < props[7]:
+        random_uniform_terrain(t, -u_height, u_height, step=0.005,
+                               downsampled_scale=1.0, rng=rng)
     return t
 
 
@@ -256,6 +270,11 @@ def selected_make_terrain(cfg: TerrainCfg, name: str, difficulty: float,
         gap_terrain(t, 1.0 * d, platform_size=3.0)
     elif name == "pit":
         pit_terrain(t, 1.0 * d, platform_size=4.0)
+    elif name == "uneven":
+        # the deployment oracle's spectrum (uneven.png: ~1 m lattice,
+        # 0.35 m range at full difficulty) — see humanoid_make_terrain
+        random_uniform_terrain(t, -0.2 * d, 0.2 * d, step=0.005,
+                               downsampled_scale=1.0, rng=rng)
     else:
         raise ValueError(f"unknown selected terrain type {name!r}")
     return t

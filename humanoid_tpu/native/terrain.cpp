@@ -188,7 +188,7 @@ void ht_pit(int16_t* h, int n, double hs, double vs, double depth,
 //                    slopes/rough slope/stairs/discrete/stones/gap/pit.
 // selected: -1 = curriculum/randomized; else force every cell to one
 // primitive id (terrain.py:95-107): 0 flat, 1 rough, 2 slope, 3 stairs,
-// 4 discrete, 5 stepping_stones, 6 gap, 7 pit.
+// 4 discrete, 5 stepping_stones, 6 gap, 7 pit, 8 uneven.
 
 namespace {
 
@@ -247,6 +247,13 @@ void selected_cell(int16_t* c, int size_px, double hs, double vs,
             break;
         case 6: ht_gap(c, size_px, hs, 1.0 * d, 3.0); break;
         case 7: ht_pit(c, size_px, hs, vs, 1.0 * d, 4.0); break;
+        case 8:
+            // "uneven": the deployment oracle's spectrum (uneven.png —
+            // ~1 m lattice, 0.35 m range at full difficulty); see the
+            // NumPy humanoid_make_terrain docstring
+            ht_random_uniform(c, size_px, hs, vs, -0.2 * d, 0.2 * d,
+                              0.005, 1.0, cs);
+            break;
         default: break;
     }
 }
@@ -311,6 +318,10 @@ void ht_build_world(double* field, double* origins, int num_rows,
                 ht_pyramid_stairs(c, size_px, hs, vs, 0.4, obstacle_h, 1.0);
             } else if (n_props > 6 && choice < cum[6]) {
                 ht_pyramid_stairs(c, size_px, hs, vs, 0.4, -obstacle_h, 1.0);
+            } else if (n_props > 7 && choice < cum[7]) {
+                // "uneven" long-wavelength rough (oracle spectrum)
+                ht_random_uniform(c, size_px, hs, vs, -0.2 * difficulty,
+                                  0.2 * difficulty, 0.005, 1.0, cs);
             }
             int x0 = border_px + i * size_px;
             int y0 = border_px + j * size_px;

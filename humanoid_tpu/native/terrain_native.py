@@ -24,7 +24,7 @@ _c_int16_p = ctypes.POINTER(ctypes.c_int16)
 # selected-terrain primitive ids (must match terrain.cpp selected_cell)
 SELECTED_IDS = {
     "flat": 0, "rough": 1, "slope": 2, "stairs": 3, "discrete": 4,
-    "stepping_stones": 5, "gap": 6, "pit": 7,
+    "stepping_stones": 5, "gap": 6, "pit": 7, "uneven": 8,
 }
 
 

@@ -171,14 +171,43 @@ def _register_builtin():
     register("humanoid_ppo_penalty", XBotLEnv, XBotLCfg(), XBotLCfgPPO())
     # terrain-curriculum variant of the same task (reference config 3):
     # heightfield terrain + 17x11 height scan appended to the critic obs
-    # (73 + 187 = 260 per privileged frame)
+    # (73 + 187 = 260 per privileged frame). The round-4 recipe is
+    # transfer-grade: the curriculum includes the "uneven" slot (25%) so
+    # the training distribution covers the reference terrain MJCF's
+    # spectrum (uneven.png: 0.35 m range at ~1 m wavelength — the round-3
+    # curriculum's rough cells topped out at ±6 cm at 0.2 m wavelength
+    # and its policies fell within 2 s on that oracle), plus the extended
+    # DR set and tracking-biased rewards of humanoid_ppo_transfer.
+    from ..config.structs import DomainRandCfg as _DR
+    from ..config.structs import RewardsCfg as _Rw
+    from ..config.structs import RewardScalesCfg as _RwS
+
+    _terrain_dr = _DR(
+        randomize_link_mass=True,
+        randomize_base_com=True,
+        randomize_inertia=True,
+        randomize_motor_strength=True,
+        randomize_motor_offset=True,
+        randomize_kp_factor=True,
+        randomize_kd_factor=True,
+        randomize_lag_timesteps=True,
+    )
+    _terrain_rewards = _Rw(
+        low_speed_lo=0.7, scales=_RwS(tracking_lin_vel=2.4)
+    )
     register(
         "humanoid_ppo_terrain",
         XBotLEnv,
         XBotLCfg(
             env=EnvCfg(single_num_privileged_obs=73 + 187),
-            terrain=TerrainCfg(mesh_type="heightfield", measure_heights=True),
+            terrain=TerrainCfg(
+                mesh_type="heightfield", measure_heights=True,
+                terrain_proportions=(0.05, 0.15, 0.15, 0.1, 0.1,
+                                     0.1, 0.1, 0.25),
+            ),
             sim=_pgs,
+            domain_rand=_terrain_dr,
+            rewards=_terrain_rewards,
         ),
         XBotLCfgPPO(),
     )

@@ -168,6 +168,12 @@ def run_one(tag: str, task: str, iters: int, train_mut=None,
             p = os.path.join(runner.log_dir, f)
             if os.path.exists(p):
                 shutil.copy(p, out_dir)
+        # commit the converged policy for independent replay (like
+        # validation/transfer_s5/policy_3001.npz)
+        final_npz = os.path.join(runner.log_dir, f"gate_policy_{iters}.npz")
+        if os.path.exists(final_npz):
+            shutil.copy(final_npz,
+                        os.path.join(out_dir, f"policy_{iters}.npz"))
         dashboards = sorted(
             (f for f in os.listdir(runner.log_dir)
              if f.startswith("gate_dashboard")),
@@ -222,6 +228,11 @@ def main() -> None:
             algorithm=dataclasses.replace(t.algorithm, shuffle_granule=1)
         )
 
+    def _save200(t):
+        return t.replace(
+            runner=dataclasses.replace(t.runner, save_interval=200)
+        )
+
     agenda = [
         ("ab_bf16", "humanoid_ppo", ab_iters, None, None, None),
         ("ab_fp32", "humanoid_ppo", ab_iters, fp32, None, None),
@@ -263,12 +274,15 @@ def main() -> None:
         # command box; judged on the full gate matrix
         ("omni", "humanoid_ppo_omni", full_iters, None, 60.0, None,
          dict(matrix=True)),
-        # terrain round 2: extended DR on the terrain curriculum, 2x
-        # training budget, terrain-MJCF gate at a terrain-appropriate
-        # 0.3 m/s command (the uneven.png surface has ~30% grades)
-        ("terrain2", "humanoid_ppo_terrain", 6000, None, 60.0, None,
-         dict(terrain_gate=True, terrain_cmd=(0.3, 0.0, 0.0),
-              env_mut=_terrain_dr)),
+        # terrain round 2 (the round-4 shipping terrain recipe): the
+        # "uneven" curriculum slot matching the oracle's spectrum +
+        # extended DR + tracking rewards now live IN the registered task;
+        # 2x training budget, checkpoints every 200 iters (31 verdicts),
+        # terrain-MJCF gate at a terrain-appropriate 0.3 m/s command
+        # (the uneven.png surface has ~30% grades)
+        ("terrain_uneven", "humanoid_ppo_terrain", 6000, _save200, 60.0,
+         None,
+         dict(terrain_gate=True, terrain_cmd=(0.3, 0.0, 0.0))),
     ]
     terrain_rows = {"terrain_pgs", "trimesh_pgs"}
     pending = []

@@ -334,3 +334,59 @@ def test_riser_cell_floor_is_true_in_trimesh_mode(model):
     assert zr.max() > 0.93
     assert zr[-1] < 0.6 or qw_r < 0.95
     assert np.isfinite(zr).all() and np.isfinite(zw).all()
+
+
+def test_uneven_generator_matches_oracle_spectrum():
+    """The "uneven" slot must reproduce the reference terrain MJCF's
+    statistics (uneven.png: independent ~1 m lattice nodes spanning 0.35 m
+    at full difficulty) — NumPy and native paths both."""
+    import numpy as np
+
+    from humanoid_tpu.config.structs import TerrainCfg
+    from humanoid_tpu.env.terrain import selected_make_terrain
+
+    cfg = TerrainCfg()
+    rng = np.random.RandomState(0)
+    t = selected_make_terrain(cfg, "uneven", 1.0, 80, rng)
+    h = t.height_field_raw * cfg.vertical_scale
+    # full-difficulty amplitude ~ +-0.2 m (node heights hit the bounds)
+    assert 0.15 <= h.max() <= 0.21 and -0.21 <= h.min() <= -0.15
+    # long wavelength: adjacent 0.1 m samples differ far less than the
+    # amplitude (bilinear between ~1 m nodes), unlike the 0.2 m rough slot
+    dcol = np.abs(np.diff(h, axis=1)).max()
+    assert dcol < 0.1, dcol
+    # difficulty scales the amplitude
+    t2 = selected_make_terrain(cfg, "uneven", 0.25, 80,
+                               np.random.RandomState(0))
+    h2 = t2.height_field_raw * cfg.vertical_scale
+    assert abs(h2).max() <= 0.06
+
+
+def test_uneven_world_slot_native_and_python():
+    """Proportion slot 8 routes to the uneven generator in both the NumPy
+    and C++ world assemblers (same bounds, same long-wavelength shape)."""
+    import numpy as np
+    import pytest
+
+    from humanoid_tpu.config.structs import TerrainCfg
+    from humanoid_tpu.env.terrain import build_terrain
+    from humanoid_tpu.native.terrain_native import (
+        build_terrain_native,
+        native_available,
+    )
+
+    cfg = TerrainCfg(
+        mesh_type="heightfield", num_rows=4, num_cols=4, border_size=2.0,
+        terrain_proportions=(0.0, 0, 0, 0, 0, 0, 0, 1.0),
+    )
+    size_px = int(cfg.terrain_length / cfg.horizontal_scale)
+    bp = int(cfg.border_size / cfg.horizontal_scale)
+    for build in ([build_terrain, build_terrain_native]
+                  if native_available() else [build_terrain]):
+        w = build(cfg, seed=11)
+        top = w.height[bp + 3 * size_px : bp + 4 * size_px,
+                       bp : bp + size_px]          # difficulty 0.75
+        assert 0.08 <= abs(top).max() <= 0.16, (build, abs(top).max())
+        assert np.abs(np.diff(top, axis=1)).max() < 0.08
+        flat_row = w.height[bp : bp + size_px, bp : bp + size_px]
+        assert abs(flat_row).max() <= 0.01        # difficulty 0 stays flat
