@@ -61,7 +61,10 @@ class ControlCfg:
     stiffness: Tuple[float, ...] = _t(200, 200, 350, 350, 15, 15,
                                       200, 200, 350, 350, 15, 15)
     damping: Tuple[float, ...] = _t(*([10.0] * 12))
-    action_scale: float = 0.25
+    # scalar (the reference's shipped value, humanoid_config.py:264) or a
+    # per-joint tuple — the fork's own commented-out D11 intention
+    # (humanoid_config.py:258-261: arms 0.1, legs 0.25, ankles 0.05)
+    action_scale: object = 0.25
     decimation: int = 10
 
 
@@ -475,6 +478,14 @@ def d11_cfg() -> XBotLCfg:
                          200, 200, 350, 350, 15, 15,
                          200, 200, 350, 350, 15, 15),
             damping=_t(3, 3, 1, 3, 3, 1, *([10.0] * 12)),
+            # the fork's own (commented-out) per-joint intention,
+            # humanoid_config.py:258-261: arm action range 0.1 rad/unit vs
+            # 0.25 for legs. Round-3 d11 trained with the scalar 0.25 and
+            # converged to 56% in-sim failure terminations (ep len
+            # 1301/2400, validation/d11_pgs) — ±4.5 rad arm swings under
+            # exploration noise destabilize the base; quartering the arm
+            # authority is the reference lineage's own fix.
+            action_scale=_t(*([0.1] * 6), *([0.25] * 12)),
         ),
         rewards=RewardsCfg(
             ref_leg_idx_left=(8, 9, 10), ref_leg_idx_right=(14, 15, 16)

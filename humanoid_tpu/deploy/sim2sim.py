@@ -37,7 +37,7 @@ class Sim2simCfg:
     num_single_obs: int = 47
     frame_stack: int = 15
     cycle_time: float = 0.64
-    action_scale: float = 0.25
+    action_scale: object = 0.25  # scalar or per-joint tuple
     clip_observations: float = 18.0
     clip_actions: float = 18.0
     obs_scale_lin_vel: float = 2.0
@@ -50,14 +50,19 @@ class Sim2simCfg:
     min_base_height: float = 0.45
 
 
-def cfg_for_task(task: str, duration: float = 60.0) -> Sim2simCfg:
+def cfg_for_task(task: str, duration: float = 60.0,
+                 oracle_perturb: float = 0.0) -> Sim2simCfg:
     """Build the replay config from a registered task's env config.
 
     For the 12-dof XBot tasks the shipped reference MJCF is the (preferred,
     fully independent) oracle; for other robots (e.g. the 18-dof d11 tasks)
     an MJCF is exported from the compiled RobotModel
     (mjcf_export.model_to_mjcf), which still runs MuJoCo's own contact and
-    integrator against our training physics."""
+    integrator against our training physics. `oracle_perturb` > 0
+    additionally perturbs that exported model's masses/inertias/COMs by up
+    to that fraction (deterministic), reproducing the ~10% model gap the
+    shipped 12-dof reference MJCF has vs its URDF — so exported-model
+    oracles also test cross-model robustness, not just cross-simulator."""
     import tempfile
 
     from ..assets import prepare_mujoco_xml, resolve_robot
@@ -79,7 +84,7 @@ def cfg_for_task(task: str, duration: float = 60.0) -> Sim2simCfg:
             terminate_on=env_cfg.asset.terminate_after_contacts_on,
             armature=env_cfg.sim.armature,
         )
-        xml = model_to_mjcf(m, with_floor=True)
+        xml = model_to_mjcf(m, with_floor=True, perturb=oracle_perturb)
         f = tempfile.NamedTemporaryFile(
             "w", suffix=".xml", prefix=f"sim2sim_{task}_", delete=False
         )
@@ -289,7 +294,7 @@ def run_mujoco(
             )
             action = np.asarray(policy(policy_input)).reshape(nj)
             action = np.clip(action, -cfg.clip_actions, cfg.clip_actions)
-            target_q = action * cfg.action_scale + default_pos
+            target_q = action * np.asarray(cfg.action_scale) + default_pos
 
         tau = kps * (target_q - q) - kds * dq
         tau = np.clip(tau, -tau_limit, tau_limit)
@@ -384,6 +389,12 @@ def main(argv=None):
                         "task (non-XBot12 robots replay in an MJCF "
                         "exported from the compiled model)")
     p.add_argument("--terrain", action="store_true")
+    p.add_argument("--oracle-perturb", dest="oracle_perturb", type=float,
+                   default=0.0,
+                   help="for exported-model oracles (non-xbot12 robots): "
+                        "perturb masses/inertias/COMs by up to this "
+                        "fraction (deterministic) so the gate crosses a "
+                        "model gap like the shipped 12-dof MJCF's ~10%%")
     p.add_argument("--cmd", type=float, nargs=3, default=[0.5, 0.0, 0.0])
     p.add_argument("--joystick", action="store_true",
                    help="drive commands from a gamepad (scripts/joystick.py)")
@@ -410,7 +421,8 @@ def main(argv=None):
     from ..assets import XBOT_MJCF, XBOT_MJCF_TERRAIN, prepare_mujoco_xml
 
     if args.task:
-        cfg = cfg_for_task(args.task, duration=args.duration)
+        cfg = cfg_for_task(args.task, duration=args.duration,
+                           oracle_perturb=args.oracle_perturb)
         if args.terrain:
             cfg.mujoco_model_path = prepare_mujoco_xml(XBOT_MJCF_TERRAIN)
     else:

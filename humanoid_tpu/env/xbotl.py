@@ -718,7 +718,9 @@ class XBotLEnv:
         )
 
         # ---- 2. decimated PD + physics (humanoid_env.py:639-649) ----
-        actions_scaled = actions * cfg.control.action_scale
+        actions_scaled = actions * jnp.asarray(
+            cfg.control.action_scale, dtype=actions.dtype
+        )
         lag_buffer = state.lag_buffer
         if cfg.domain_rand.randomize_lag_timesteps:
             # PD target is a uniformly random element of the action-lag ring

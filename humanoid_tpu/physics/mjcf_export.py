@@ -19,9 +19,30 @@ def _fmt(a) -> str:
 
 
 def model_to_mjcf(model: RobotModel, with_floor: bool = False,
-                  friction: float = 1.0) -> str:
-    """Render the collapsed tree as MJCF XML (floating base, torque motors)."""
+                  friction: float = 1.0, perturb: float = 0.0,
+                  perturb_seed: int = 0) -> str:
+    """Render the collapsed tree as MJCF XML (floating base, torque motors).
+
+    `perturb` > 0 emits a deliberately *perturbed* oracle: per-body mass and
+    inertia scaled by independent uniform factors in [1-perturb, 1+perturb]
+    and COM shifted by up to ±10·perturb cm per axis (deterministic in
+    `perturb_seed`). This reproduces the kind of model gap the shipped
+    12-dof reference MJCF has vs its URDF (~10% merged-link inertia
+    redistribution, −0.33 kg — VALIDATION.md round-2 bisection), so gates
+    on robots without an independently-authored MJCF (e.g. the 18-dof d11
+    task, whose D11_X assets are missing upstream, SURVEY.md §0.2) still
+    test cross-MODEL robustness rather than only cross-simulator transfer.
+    Scalar per-body scaling keeps every inertia physically valid."""
     import jax.numpy as jnp
+
+    mass_f = np.ones(model.nb)
+    inertia_f = np.ones(model.nb)
+    com_d = np.zeros((model.nb, 3))
+    if perturb > 0.0:
+        rng = np.random.RandomState(perturb_seed)
+        mass_f = rng.uniform(1 - perturb, 1 + perturb, model.nb)
+        inertia_f = rng.uniform(1 - perturb, 1 + perturb, model.nb)
+        com_d = rng.uniform(-0.1 * perturb, 0.1 * perturb, (model.nb, 3))
 
     children = {i: [] for i in range(-1, model.nb)}
     for b in range(model.nb):
@@ -51,10 +72,11 @@ def model_to_mjcf(model: RobotModel, with_floor: bool = False,
                 f'damping="{model.dof_damping[k]:.17g}" '
                 f'armature="{model.dof_armature[k]:.17g}" limited="false"/>'
             )
-        I = model.inertia[b]
+        I = np.asarray(model.inertia[b]) * inertia_f[b]
+        com = np.asarray(model.com[b]) + com_d[b]
         lines.append(
-            f'{indent}  <inertial pos="{_fmt(model.com[b])}" '
-            f'mass="{model.mass[b]:.17g}" '
+            f'{indent}  <inertial pos="{_fmt(com)}" '
+            f'mass="{model.mass[b] * mass_f[b]:.17g}" '
             f'fullinertia="{I[0,0]:.17g} {I[1,1]:.17g} {I[2,2]:.17g} '
             f'{I[0,1]:.17g} {I[0,2]:.17g} {I[1,2]:.17g}"/>'
         )

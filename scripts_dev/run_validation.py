@@ -33,7 +33,7 @@ def run_one(tag: str, task: str, iters: int, train_mut=None,
             gate_s: float | None = None, seed: int | None = None,
             defer_gate: bool = False, env_mut=None,
             terrain_gate: bool = False, terrain_cmd=(0.5, 0.0, 0.0),
-            matrix: bool = False):
+            matrix: bool = False, gate_argv: tuple = ()):
     """Train one run. Returns (summary, finish) where finish() drains the
     eval gate (if any) and writes the final summary/artifacts. With
     defer_gate the caller invokes finish() later, so CPU MuJoCo replays
@@ -62,7 +62,8 @@ def run_one(tag: str, task: str, iters: int, train_mut=None,
     gate_t = None
     if gate_s:
         gate = CheckpointEvalGate(runner.log_dir, duration=gate_s,
-                                  task=task, max_concurrent=2)
+                                  task=task, max_concurrent=2,
+                                  extra_argv=tuple(gate_argv))
         runner.on_checkpoint = gate
         if terrain_gate:
             # second verdict stream: same checkpoints replayed on the
@@ -283,6 +284,13 @@ def main() -> None:
         ("terrain_uneven", "humanoid_ppo_terrain", 6000, _save200, 60.0,
          None,
          dict(terrain_gate=True, terrain_cmd=(0.3, 0.0, 0.0))),
+        # d11 round 4 (VERDICT r3 next #5): per-joint action scale (arms
+        # 0.1 — the fork's own commented-out intention) against the
+        # round-3 56% in-sim failure rate, gated on a PERTURBED exported
+        # MJCF (~10% mass/inertia/COM deltas — the measured 12-dof
+        # model-gap scale) so the 18-dof gate crosses a model gap too
+        ("d11_r4", "d11_ppo", full_iters, None, 60.0, None,
+         dict(gate_argv=("--oracle-perturb", "0.1"))),
     ]
     terrain_rows = {"terrain_pgs", "trimesh_pgs"}
     pending = []

@@ -263,3 +263,36 @@ def test_committed_transfer_policy_walks():
     assert m["survived_s"] >= 10.0 - 1e-6
     assert m["mean_speed"] >= 0.35, m
     assert m["final_base_z"] >= 0.65, m
+
+
+def test_perturbed_oracle_mjcf():
+    """The d11 cross-model oracle (VERDICT r3 next #5): an exported MJCF
+    with perturb=0.1 must load in MuJoCo, differ from the clean export by
+    a genuine ~10%-scale inertial delta, and be deterministic."""
+    import mujoco
+    import numpy as np
+
+    from humanoid_tpu.assets import resolve_robot
+    from humanoid_tpu.config.structs import d11_cfg
+    from humanoid_tpu.physics.mjcf_export import model_to_mjcf
+    from humanoid_tpu.physics.urdf import load_urdf
+
+    cfg = d11_cfg()
+    urdf_path, joint_order = resolve_robot(cfg.asset)
+    m = load_urdf(
+        urdf_path, joint_order=joint_order,
+        foot_name=cfg.asset.foot_name, knee_name=cfg.asset.knee_name,
+        terminate_on=cfg.asset.terminate_after_contacts_on,
+        armature=cfg.sim.armature,
+    )
+    clean = model_to_mjcf(m, with_floor=True)
+    pert = model_to_mjcf(m, with_floor=True, perturb=0.1)
+    assert pert == model_to_mjcf(m, with_floor=True, perturb=0.1)
+    assert pert != clean
+    mc = mujoco.MjModel.from_xml_string(clean)
+    mp = mujoco.MjModel.from_xml_string(pert)
+    ratio = mp.body_mass[1:] / np.maximum(mc.body_mass[1:], 1e-9)
+    # every body within +-10%, and the deltas are real (not all ~1)
+    assert np.all(ratio >= 0.9 - 1e-9) and np.all(ratio <= 1.1 + 1e-9)
+    assert np.abs(ratio - 1.0).max() > 0.05
+    assert abs(mp.body_mass.sum() - mc.body_mass.sum()) > 0.1
