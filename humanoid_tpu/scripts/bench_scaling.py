@@ -76,6 +76,9 @@ def run_one(n: int, envs_per_device: int, steps: int, warmup: int,
         f"{flags} --xla_force_host_platform_device_count={n}".strip()
     )
     env["JAX_PLATFORMS"] = "cpu"
+    # skip the axon TPU backend registration in the subprocess (it hangs
+    # when the tunnel pool is configured but the process wants CPU)
+    env["PALLAS_AXON_POOL_IPS"] = ""
     code = _WORKER.format(
         n_devices=n, envs_per_device=envs_per_device, steps=steps,
         warmup=warmup, iters=iters,

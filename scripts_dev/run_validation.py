@@ -292,7 +292,13 @@ def main() -> None:
         ("d11_r4", "d11_ppo", full_iters, None, 60.0, None,
          dict(gate_argv=("--oracle-perturb", "0.1"))),
     ]
-    terrain_rows = {"terrain_pgs", "trimesh_pgs"}
+    # rows whose checkpoints get the second (terrain-MJCF) verdict stream.
+    # trimesh_pgs is NOT gated on terrain: its base generator set (stairs/
+    # stones/gaps/pits as vertical faces — the collision-semantics
+    # exerciser) deliberately keeps reference parity and does not contain
+    # the uneven.png spectrum; the terrain-capability claim is carried by
+    # terrain_uneven.
+    terrain_rows = {"terrain_pgs"}
     pending = []
     for row in agenda:
         tag, task, iters, mut, gate_s, seed = row[:6]
