@@ -361,10 +361,13 @@ def run_mujoco(
     if ground is not None:
         final_z -= ground(data.qpos[0], data.qpos[1])
     out = {
+        # plain python floats: the eval gate parses this dict from stdout
+        # with ast.literal_eval, which rejects np.float64 reprs (the
+        # hfield lookup returns numpy scalars)
         "survived_s": float(survived),
-        "distance_m": dist,
-        "mean_speed": dist / max(survived, 1e-6),
-        "final_base_z": final_z,
+        "distance_m": float(dist),
+        "mean_speed": float(dist / max(survived, 1e-6)),
+        "final_base_z": float(final_z),
     }
     if record_states:
         out["states"] = np.array(states)
