@@ -95,19 +95,28 @@ class SimCfg:
     # the cheap-compile base for CPU tests/dryruns: the PGS XLA fallback
     # graph compiles pathologically slowly on CPU hosts.
     contact_model: str = "penalty"
-    # Sweep count for the in-kernel solve. The kernel warm-starts each
-    # substep's sweep from the previous substep's impulses (impulses vary
-    # smoothly at 1 kHz — the standard MuJoCo/PhysX warm start) and
-    # freezes the Delassus operator with the mass matrix
-    # (freeze_mass_matrix), so 6 warm sweeps reach at least cold-8
-    # convergence (goldens were already bit-identical at cold 6 vs 8 vs
-    # 16) while the shipping config clears 4.0 M env-steps/s
-    # (cold-8/round-3: 3.30 M). Validated end-to-end by the round-4
-    # flagship gated run (validation/flagship_warm6).
-    pgs_iterations: int = 6
+    # Sweep count for the contact-impulse solve. 8 cold sweeps with the
+    # contact frames/Jacobians/Delassus rebuilt every substep is the
+    # VALIDATED shipping configuration (round-3 campaign: 26/26 on the
+    # honest 60 s gate at seeds 5/17/42, 3.30 M env-steps/s).
+    pgs_iterations: int = 8
     pgs_erp: float = 0.024
     pgs_cfm: float = 0.01
     pgs_slop: float = 0.0
+    # EXPERIMENTAL speed/accuracy trades, both measured FASTER but
+    # TRANSFER-BREAKING in the round-4 A/B (validation/flagship_warm6:
+    # frozen prep + 6 warm sweeps reached 4.0 M env-steps/s and trained to
+    # reward 6.2 in-sim, but its converged policies fall within ~5 s on
+    # the reference MJCF — 8/26 on the gate vs 26/26 for the cold-8
+    # default; kernel-vs-XLA pair tests and static goldens do NOT catch
+    # this, only the full gated run does):
+    #   pgs_freeze_prep — build contact frames/Jacobians/Delassus once per
+    #     control step from the entry configuration (with the frozen mass
+    #     factor) instead of per substep
+    #   pgs_warm_start — start each substep's sweep from the previous
+    #     substep's impulses
+    pgs_freeze_prep: bool = False
+    pgs_warm_start: bool = False
 
 
 @dataclass(frozen=True)

@@ -150,6 +150,8 @@ class XBotLEnv:
             self.pgs_params = PGSParams(
                 iterations=cfg.sim.pgs_iterations, erp=cfg.sim.pgs_erp,
                 cfm_ratio=cfg.sim.pgs_cfm, slop=cfg.sim.pgs_slop,
+                freeze_prep=cfg.sim.pgs_freeze_prep,
+                warm_start=cfg.sim.pgs_warm_start,
             )
         elif self.contact_model != "penalty":
             raise ValueError(

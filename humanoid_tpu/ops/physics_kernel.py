@@ -875,20 +875,23 @@ def _control_kernel(
         # the factor is closed over by the loop body: loop-invariant lane
         # vectors (None entries are compile-time structural zeros)
         loop_chol = _crba_chol(S0, I0, mk, one)
-        if mk.get("pgs") is not None:
-            # freeze the PGS contact frames/Jacobians/Delassus with the
-            # mass matrix (same entry-configuration approximation);
-            # penetrations/bias/velocities stay per-substep
+        if mk.get("pgs") is not None and mk["pgs"].get("freeze_prep"):
+            # OPT-IN (SimCfg.pgs_freeze_prep): freeze the PGS contact
+            # frames/Jacobians/Delassus with the mass matrix (same
+            # entry-configuration approximation); penetrations/bias/
+            # velocities stay per-substep. Faster but measured
+            # transfer-breaking — see SimCfg for the A/B record.
             loop_prep = _pgs_prepare(
                 pos0, quat0, anchors0, w_ax0, loop_chol[0], loop_chol[1],
                 mk, one, planes=planes,
             )
 
-    # warm-start impulse carried across substeps (PGS path only): contact
-    # impulses vary smoothly at 1 kHz, so each substep's sweep starts near
-    # its solution
+    # OPT-IN (SimCfg.pgs_warm_start): impulse carried across substeps so
+    # each substep's sweep starts near its solution — see SimCfg for why
+    # the default is a cold start
     n_foot_pts = sum(1 for cp in mk["contact_pts"] if cp[2] is not None)
-    R = 3 * n_foot_pts if mk.get("pgs") is not None else 0
+    warm = mk.get("pgs") is not None and mk["pgs"].get("warm")
+    R = 3 * n_foot_pts if warm else 0
     zero = 0.0 * one
 
     def body(_, carry):
@@ -1005,6 +1008,8 @@ def make_model_consts(model, kp, kd, tau_lim, contact_params, dt,
             erp=float(pgs_params.erp),
             cfm=float(pgs_params.cfm_ratio),
             slop=float(pgs_params.slop),
+            freeze_prep=bool(getattr(pgs_params, "freeze_prep", False)),
+            warm=bool(getattr(pgs_params, "warm_start", False)),
         ),
     )
 

@@ -45,6 +45,10 @@ class PGSParams(NamedTuple):
     erp: float = 0.024
     cfm_ratio: float = 0.01
     slop: float = 0.0
+    # in-kernel speed/accuracy trades (see SimCfg.pgs_freeze_prep /
+    # pgs_warm_start for why both default OFF)
+    freeze_prep: bool = False
+    warm_start: bool = False
 
 
 def _contact_frames(n):

@@ -266,11 +266,20 @@ def main() -> None:
         # trimesh-collision variant over the generic base generator set
         ("trimesh_pgs", "humanoid_ppo_trimesh", full_iters, None, 60.0,
          None),
-        # the shipping default end-to-end: humanoid_ppo now = PGS contact
-        # with 6 warm-started sweeps + frozen Delassus (4.0 M env-steps/s)
-        # — gate + command matrix prove the round-4 solver defaults
+        # round-4 solver A/B (frozen Delassus prep + 6 warm-started
+        # sweeps, 4.0 M env-steps/s): measured TRANSFER-BREAKING — gate
+        # 8/26 from 600, matrix 1/9, late checkpoints fall at ~5 s on the
+        # reference MJCF (the round-2 failure signature). Kept as the
+        # committed record of why the shipping default stays cold-8 with
+        # per-substep prep; re-run with _warm6_freeze.
         ("flagship_warm6", "humanoid_ppo", full_iters, None, 60.0, None,
-         dict(matrix=True)),
+         dict(matrix=True, env_mut=_warm6_freeze)),
+        # ingredient isolation: frozen prep ALONE (cold 8 sweeps,
+        # 3.81 M env-steps/s). Green -> warm-start was the culprit and
+        # freeze can ship; red -> the entry-configuration contact freeze
+        # is itself the transfer-breaker.
+        ("flagship_freeze8", "humanoid_ppo", full_iters, None, 60.0, None,
+         dict(matrix=True, env_mut=_freeze_prep_only)),
         # omnidirectional-envelope recipe (VERDICT r3 next #4): widened
         # command box; judged on the full gate matrix
         ("omni", "humanoid_ppo_omni", full_iters, None, 60.0, None,
@@ -322,6 +331,23 @@ def main() -> None:
         pending.append(finish)
     results = [finish() for finish in pending]
     print(json.dumps(results, indent=1))
+
+
+def _warm6_freeze(cfg):
+    """The round-4 experimental solver: frozen prep + 6 warm sweeps."""
+    import dataclasses as _dc
+
+    return cfg.replace(
+        sim=_dc.replace(cfg.sim, pgs_iterations=6, pgs_freeze_prep=True,
+                        pgs_warm_start=True)
+    )
+
+
+def _freeze_prep_only(cfg):
+    """Frozen prep, cold 8 sweeps (ingredient isolation)."""
+    import dataclasses as _dc
+
+    return cfg.replace(sim=_dc.replace(cfg.sim, pgs_freeze_prep=True))
 
 
 def _init_all_levels(cfg):
