@@ -102,9 +102,15 @@ def run_one(tag: str, task: str, iters: int, train_mut=None,
     import jax
 
     last = None
+    rows = []
     with open(os.path.join(runner.log_dir, "metrics.jsonl")) as f:
         for line in f:
             last = json.loads(line)
+            rows.append(last)
+
+    def tail_mean(key, n=200):
+        vals = [r[key] for r in rows[-n:] if key in r]
+        return round(sum(vals) / len(vals), 4) if vals else None
     summary = {
         "tag": tag,
         "task": task,
@@ -120,6 +126,11 @@ def run_one(tag: str, task: str, iters: int, train_mut=None,
         "final_mean_reward": last.get("Train/mean_reward") if last else None,
         "final_mean_ep_len": last.get("Train/mean_episode_length") if last else None,
         "final_ep_fail_frac": last.get("Train/ep_fail_frac") if last else None,
+        # single-iteration finals are episode-sampling noise (+-15%); the
+        # tail mean is the steady-state number
+        "tail200_mean_reward": tail_mean("Train/mean_reward"),
+        "tail200_mean_ep_len": tail_mean("Train/mean_episode_length"),
+        "tail200_ep_fail_frac": tail_mean("Train/ep_fail_frac"),
         "compute_dtype": tcfg.policy.compute_dtype,
         "shuffle_granule": tcfg.algorithm.shuffle_granule,
         "contact_model": env_cfg.sim.contact_model,
