@@ -5,7 +5,12 @@ Times, separately jitted:
   2. env.step only (no policy)
   3. PPO update only (on a fixed batch)
   4. full iteration (reference composition)
+
+Contact model via HUMANOID_TPU_PROFILE_CONTACT=penalty|pgs (default pgs —
+the shipping model); extra PGS solver knobs via
+HUMANOID_TPU_PROFILE_PGS=<iters>[,freeze][,warm].
 """
+import os
 import sys
 import time
 
@@ -17,12 +22,24 @@ import jax.numpy as jnp
 from humanoid_tpu.algo.runner import OnPolicyRunner
 from humanoid_tpu.algo.networks import sample_action, log_prob
 from humanoid_tpu.algo.ppo import Batch, ppo_update
-from humanoid_tpu.config.structs import EnvCfg, RunnerCfg, XBotLCfg, XBotLCfgPPO
+from humanoid_tpu.config.structs import (
+    EnvCfg, RunnerCfg, SimCfg, XBotLCfg, XBotLCfgPPO,
+)
 from humanoid_tpu.env import XBotLEnv
 
 N = 4096
 T = 60
-cfg = XBotLCfg(env=EnvCfg(num_envs=N))
+_contact = os.environ.get("HUMANOID_TPU_PROFILE_CONTACT", "pgs")
+_pgs_spec = os.environ.get("HUMANOID_TPU_PROFILE_PGS", "8").split(",")
+sim = SimCfg(
+    contact_model=_contact,
+    pgs_iterations=int(_pgs_spec[0]),
+    pgs_freeze_prep="freeze" in _pgs_spec,
+    pgs_warm_start="warm" in _pgs_spec,
+)
+print(f"contact={_contact} pgs_iters={sim.pgs_iterations} "
+      f"freeze_prep={sim.pgs_freeze_prep} warm={sim.pgs_warm_start}")
+cfg = XBotLCfg(env=EnvCfg(num_envs=N), sim=sim)
 tcfg = XBotLCfgPPO(runner=RunnerCfg(num_steps_per_env=T))
 env = XBotLEnv(cfg)
 runner = OnPolicyRunner(env, tcfg)

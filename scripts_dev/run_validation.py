@@ -304,6 +304,14 @@ def main() -> None:
         ("terrain_uneven", "humanoid_ppo_terrain", 6000, _save200, 60.0,
          None,
          dict(terrain_gate=True, terrain_cmd=(0.3, 0.0, 0.0))),
+        # omni round 2: omni reached 7/9 matrix cells (backward 0.51x,
+        # lateral_right 0.55x; lateral_LEFT passes — a chiral gait).
+        # tracking_sigma=5 saturates at small commands (exp(-5*err^2) =
+        # 0.89 while moving at HALF a 0.3 m/s command): sharpen to 12 so
+        # small-command tracking has gradient, and add the validated
+        # mirror-symmetry loss (sym_pgs: 26/26) against the asymmetry.
+        ("omni_sym", "humanoid_ppo_omni", full_iters, _sym_loss, 60.0,
+         None, dict(matrix=True, env_mut=_sharp_tracking)),
         # terrain round 3: terrain_uneven's policy walks the oracle for
         # ~38 s but dies on ~30% pockets it rarely trained on — the game
         # curriculum only reached level ~1.9/9 in 6000 iters (heading
@@ -342,6 +350,22 @@ def main() -> None:
         pending.append(finish)
     results = [finish() for finish in pending]
     print(json.dumps(results, indent=1))
+
+
+def _sym_loss(t):
+    import dataclasses as _dc
+
+    return t.replace(
+        algorithm=_dc.replace(t.algorithm, sym_loss=True, sym_coef=1.0)
+    )
+
+
+def _sharp_tracking(cfg):
+    import dataclasses as _dc
+
+    return cfg.replace(
+        rewards=_dc.replace(cfg.rewards, tracking_sigma=12.0)
+    )
 
 
 def _warm6_freeze(cfg):
