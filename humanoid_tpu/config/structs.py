@@ -330,6 +330,10 @@ class TerrainCfg:
     num_rows: int = 10              # difficulty levels
     num_cols: int = 20              # terrain types
     max_init_terrain_level: int = 5
+    # exploration tier (ours): fraction of resetting envs that draw a
+    # uniform random difficulty row instead of the reference's +-1 game
+    # step (see env/xbotl.py terrain-curriculum block for the rationale)
+    random_level_frac: float = 0.0
     # proportions — meaning depends on generator_set:
     #   "humanoid": [flat, discrete, rough, slope up, slope down,
     #                stairs up, stairs down, uneven]  (slot 8 "uneven" =

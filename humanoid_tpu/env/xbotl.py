@@ -1021,6 +1021,22 @@ class XBotLEnv:
                 new_levels >= self.max_terrain_level, rand_lvl,
                 jnp.maximum(new_levels, 0),
             )
+            # exploration tier (ours, past the reference's curriculum):
+            # with probability random_level_frac a resetting env draws a
+            # uniform random difficulty row instead of the +-1 game step.
+            # The game curriculum alone keeps the population's level mean
+            # ~2/9 under heading commands (net displacement rarely clears
+            # the 4 m promotion bar), so high-difficulty cells stay
+            # undertrained — measured on validation/terrain_uneven/
+            # terrain_hard; this keeps a constant fraction of envs
+            # training at every difficulty.
+            frac = float(getattr(cfg.terrain, "random_level_frac", 0.0))
+            if frac > 0.0:
+                k_explore, k_reset_q = jax.random.split(k_reset_q)
+                explore = (
+                    jax.random.uniform(k_explore, new_levels.shape) < frac
+                )
+                new_levels = jnp.where(explore, rand_lvl, new_levels)
             terrain_levels = jnp.where(reset_buf, new_levels, terrain_levels)
             # origin lookup as a one-hot matmul — a (N,) row gather is
             # another serialized-gather op on TPU; the table is tiny

@@ -323,6 +323,16 @@ def main() -> None:
          None,
          dict(terrain_gate=True, terrain_cmd=(0.3, 0.0, 0.0),
               env_mut=_init_all_levels)),
+        # terrain round 4: terrain_hard's init-level spread washes out
+        # within ~10 episodes (failed episodes demote faster than init
+        # helps; level mean back to ~1.7 by iter 1400). The durable fix
+        # is the exploration tier: 30% of resetting envs draw a uniform
+        # random difficulty row, keeping every difficulty trained at a
+        # constant rate for the whole run.
+        ("terrain_mix", "humanoid_ppo_terrain", 6000, _save200, 60.0,
+         None,
+         dict(terrain_gate=True, terrain_cmd=(0.3, 0.0, 0.0),
+              env_mut=_explore_levels)),
         # d11 round 4 (VERDICT r3 next #5): per-joint action scale (arms
         # 0.1 — the fork's own commented-out intention) against the
         # round-3 56% in-sim failure rate, gated on a PERTURBED exported
@@ -383,6 +393,15 @@ def _freeze_prep_only(cfg):
     import dataclasses as _dc
 
     return cfg.replace(sim=_dc.replace(cfg.sim, pgs_freeze_prep=True))
+
+
+def _explore_levels(cfg):
+    """30% exploration tier over curriculum difficulty rows."""
+    import dataclasses as _dc
+
+    return cfg.replace(
+        terrain=_dc.replace(cfg.terrain, random_level_frac=0.3)
+    )
 
 
 def _init_all_levels(cfg):
