@@ -283,3 +283,42 @@ def test_measure_heights_priv_obs():
     scale = cfg0.normalization.obs_scales.height_measurements
     assert np.all(np.abs(hp) <= scale + 1e-5)
     assert np.all(np.isfinite(np.asarray(out.privileged_obs)))
+
+
+@pytest.mark.slow
+def test_terrain_exploration_tier():
+    """random_level_frac: resetting envs draw uniform random difficulty
+    rows (the exploration tier past the reference's +-1 game curriculum);
+    frac=0 keeps the pure game step."""
+    import dataclasses
+
+    from humanoid_tpu.utils import registry
+
+    def run(frac, seed=0):
+        cfg0, _ = registry.get_cfgs("humanoid_ppo_terrain")
+        cfg0 = cfg0.replace(
+            env=dataclasses.replace(
+                cfg0.env, num_envs=N, episode_length_s=0.05
+            ),  # 5-step episodes -> every env resets every 5 steps
+            sim=dataclasses.replace(cfg0.sim, contact_model="penalty"),
+            terrain=dataclasses.replace(
+                cfg0.terrain, random_level_frac=frac,
+                max_init_terrain_level=1,   # all start at level 0
+            ),
+        )
+        env, _ = registry.make_env("humanoid_ppo_terrain", env_cfg=cfg0)
+        s = env.initial_state(jax.random.PRNGKey(seed))
+        step = jax.jit(env.step)
+        k = jax.random.PRNGKey(seed + 1)
+        for i in range(12):
+            k, ke = jax.random.split(k)
+            s, out = step(s, jnp.zeros((N, env.nj)), ke)
+        return np.asarray(s.terrain_levels)
+
+    lv0 = run(0.0)
+    lv1 = run(1.0)
+    # pure game curriculum from level 0: short timeout episodes walk no
+    # distance -> move_down clamps at 0, so levels stay at 0
+    assert lv0.max() <= 1, lv0
+    # full exploration tier: after 2 resets levels spread over all rows
+    assert lv1.max() >= 6 and len(np.unique(lv1)) >= 4, lv1
