@@ -103,18 +103,20 @@ class SimCfg:
     pgs_erp: float = 0.024
     pgs_cfm: float = 0.01
     pgs_slop: float = 0.0
-    # EXPERIMENTAL speed/accuracy trades, both measured FASTER but
-    # TRANSFER-BREAKING in the round-4 A/B (validation/flagship_warm6:
-    # frozen prep + 6 warm sweeps reached 4.0 M env-steps/s and trained to
-    # reward 6.2 in-sim, but its converged policies fall within ~5 s on
-    # the reference MJCF — 8/26 on the gate vs 26/26 for the cold-8
-    # default; kernel-vs-XLA pair tests and static goldens do NOT catch
-    # this, only the full gated run does):
+    # Solver speed/accuracy trades, isolated by round-4 ingredient A/Bs
+    # (full train+gate runs; static goldens and kernel-vs-XLA pair tests
+    # do NOT discriminate these):
     #   pgs_freeze_prep — build contact frames/Jacobians/Delassus once per
     #     control step from the entry configuration (with the frozen mass
-    #     factor) instead of per substep
+    #     factor) instead of per substep. VALIDATED and shipping on every
+    #     registered task (validation/flagship_freeze8: 26/26 honest gate
+    #     + 8/9 matrix at 3.81 M env-steps/s; registry sets it True).
+    #     False here only because bare SimCfg() is the cheap CPU test base.
     #   pgs_warm_start — start each substep's sweep from the previous
-    #     substep's impulses
+    #     substep's impulses. TRANSFER-BREAKING, do not ship: with 6
+    #     sweeps it reached 4.0 M env-steps/s and reward 6.2 in-sim, but
+    #     converged policies fall within ~5 s on the reference MJCF
+    #     (validation/flagship_warm6: 8/26 gate, 1/9 matrix).
     pgs_freeze_prep: bool = False
     pgs_warm_start: bool = False
 

@@ -161,7 +161,13 @@ def _register_builtin():
     # The penalty model remains available as the `_penalty` A/B task and
     # via `--contact penalty` (mirrors the reference's single canonical
     # task registration, /root/reference/humanoid/envs/__init__.py:46).
-    _pgs = SimCfg(contact_model="pgs")
+    # pgs_freeze_prep (contact frames/Jacobians/Delassus built once per
+    # control step) ships: validated end-to-end by the round-4 ingredient
+    # A/B (validation/flagship_freeze8: 26/26 on the honest gate from
+    # iter 600 + 8/9 matrix cells at 3.81 M env-steps/s). The companion
+    # warm-start approximation does NOT ship — it is the ingredient that
+    # broke transfer (validation/flagship_warm6: 8/26, 1/9).
+    _pgs = SimCfg(contact_model="pgs", pgs_freeze_prep=True)
 
     register("humanoid_ppo", XBotLEnv, XBotLCfg(sim=_pgs), XBotLCfgPPO())
     # penalty-contact A/B of the flagship: the compliant spring-damper
