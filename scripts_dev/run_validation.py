@@ -286,11 +286,15 @@ def main() -> None:
         ("flagship_warm6", "humanoid_ppo", full_iters, None, 60.0, None,
          dict(matrix=True, env_mut=_warm6_freeze)),
         # ingredient isolation: frozen prep ALONE (cold 8 sweeps,
-        # 3.81 M env-steps/s). Green -> warm-start was the culprit and
-        # freeze can ship; red -> the entry-configuration contact freeze
-        # is itself the transfer-breaker.
+        # 3.81 M env-steps/s). Result: GREEN (26/26 + 8/9 matrix) — the
+        # warm-start was the culprit; pgs_freeze_prep now ships on every
+        # registered task (the env_mut is redundant but kept so the row
+        # reproduces even if defaults change again).
         ("flagship_freeze8", "humanoid_ppo", full_iters, None, 60.0, None,
          dict(matrix=True, env_mut=_freeze_prep_only)),
+        # seed confirmation of the shipping (freeze-prep) default
+        ("flagship_r4_s17", "humanoid_ppo", full_iters, None, 60.0, 17),
+        ("flagship_r4_s42", "humanoid_ppo", full_iters, None, 60.0, 42),
         # omnidirectional-envelope recipe (VERDICT r3 next #4): widened
         # command box; judged on the full gate matrix
         ("omni", "humanoid_ppo_omni", full_iters, None, 60.0, None,
