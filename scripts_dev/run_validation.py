@@ -316,6 +316,10 @@ def main() -> None:
         # mirror-symmetry loss (sym_pgs: 26/26) against the asymmetry.
         ("omni_sym", "humanoid_ppo_omni", full_iters, _sym_loss, 60.0,
          None, dict(matrix=True, env_mut=_sharp_tracking)),
+        # omni round 3: omni_sym fixed backward (8/9); lateral_right at
+        # 0.64x of command vs the 0.7x bar — double the training budget
+        ("omni_sym_6k", "humanoid_ppo_omni", 6000, _sym_save200, 60.0,
+         None, dict(matrix=True, env_mut=_sharp_tracking)),
         # terrain round 3: terrain_uneven's policy walks the oracle for
         # ~38 s but dies on ~30% pockets it rarely trained on — the game
         # curriculum only reached level ~1.9/9 in 6000 iters (heading
@@ -371,6 +375,15 @@ def _sym_loss(t):
 
     return t.replace(
         algorithm=_dc.replace(t.algorithm, sym_loss=True, sym_coef=1.0)
+    )
+
+
+def _sym_save200(t):
+    import dataclasses as _dc
+
+    t = _sym_loss(t)
+    return t.replace(
+        runner=_dc.replace(t.runner, save_interval=200)
     )
 
 
