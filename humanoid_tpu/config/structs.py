@@ -110,7 +110,7 @@ class SimCfg:
     #     control step from the entry configuration (with the frozen mass
     #     factor) instead of per substep. VALIDATED and shipping on every
     #     registered task (validation/flagship_freeze8: 26/26 honest gate
-    #     + 8/9 matrix at 3.81 M env-steps/s; registry sets it True).
+    #     + 8/9 matrix; 3.75 M env-steps/s bench; registry sets it True).
     #     False here only because bare SimCfg() is the cheap CPU test base.
     #   pgs_warm_start — start each substep's sweep from the previous
     #     substep's impulses. TRANSFER-BREAKING, do not ship: with 6

@@ -164,7 +164,7 @@ def _register_builtin():
     # pgs_freeze_prep (contact frames/Jacobians/Delassus built once per
     # control step) ships: validated end-to-end by the round-4 ingredient
     # A/B (validation/flagship_freeze8: 26/26 on the honest gate from
-    # iter 600 + 8/9 matrix cells at 3.81 M env-steps/s). The companion
+    # iter 600 + 8/9 matrix cells; 3.75 M env-steps/s bench). The companion
     # warm-start approximation does NOT ship — it is the ingredient that
     # broke transfer (validation/flagship_warm6: 8/26, 1/9).
     _pgs = SimCfg(contact_model="pgs", pgs_freeze_prep=True)
