@@ -182,6 +182,17 @@ class CommandsCfg:
     # extension used by the D11/D12 tasks, off for the XBot task)
     sw_switch: bool = False
     stand_com_threshold: float = 0.05
+    # fraction of freshly sampled commands projected onto a pure axis
+    # (vx-only or vy-only, 50/50) — the deployment envelope's cells are
+    # axis-pure (joystick single-stick driving, gate_matrix.py), but a
+    # uniform box sample almost never lands there: P(|vx|<0.05) ~ 9%, so
+    # pure-lateral practice is ~4% of resets. Round-5 diagnosis
+    # (scripts_dev/diag_chirality.py): lateral tracking sits AT the 0.7x
+    # gate bar (0.75x left / 0.64x right with a ~0.05x chiral spread from
+    # the reference MJCF's own 55 g left/right foot asymmetry); the fix
+    # is margin, which needs on-axis practice density. 0 = off
+    # (reference semantics, humanoid_env.py:1019-1034).
+    axis_frac: float = 0.0
     static_delay: int = 5          # steps of zero-command before phase freeze
     # gait schedule per episode; each entry has a _resample_<gait>_command
     # rule and a random switch time (generate_gait_time equivalent)

@@ -170,7 +170,8 @@ def judge_cell(cell: GateCell, metrics: dict, states: np.ndarray,
 def run_matrix(policy: Callable[[np.ndarray], np.ndarray], cfg,
                cells: Optional[Sequence[GateCell]] = None,
                out_path: Optional[str] = None,
-               sw_switch: bool = False) -> List[dict]:
+               sw_switch: bool = False,
+               iteration: Optional[int] = None) -> List[dict]:
     """Replay every cell; returns the verdict records (and appends each to
     out_path as JSONL when given)."""
     from .sim2sim import run_mujoco
@@ -211,6 +212,10 @@ def run_matrix(policy: Callable[[np.ndarray], np.ndarray], cfg,
         )
         states = metrics.pop("states")
         rec = judge_cell(cell, metrics, states, dt_policy)
+        if iteration is not None:
+            # checkpoint-stability matrices: tag every row so one JSONL
+            # can hold several checkpoints' verdicts
+            rec["iteration"] = iteration
         results.append(rec)
         tag = "PASS" if rec["passed"] else "FAIL"
         print(f"[gate-matrix] {cell.name}: {tag} ({rec['criterion']})",
@@ -237,14 +242,25 @@ def main(argv=None):
     p.add_argument("--cells", nargs="*", default=None,
                    help="subset of cell names to run")
     p.add_argument("--forward-speed", type=float, default=0.5)
+    p.add_argument("--iteration", type=int, default=None,
+                   help="tag each verdict row with this checkpoint "
+                        "iteration (multi-checkpoint stability matrices)")
+    p.add_argument("--fast-cell", action="store_true",
+                   help="append the 0.8 m/s forward cell (the joystick "
+                        "envelope's vx maximum, joystick.py:28-157)")
     args = p.parse_args(argv)
 
     cfg = cfg_for_task(args.task) if args.task else Sim2simCfg()
     cells = default_cells(args.forward_speed)
+    if args.fast_cell:
+        cells.append(
+            GateCell("forward_fast", 20.0, ((0.0, (0.8, 0.0, 0.0)),))
+        )
     if args.cells:
         cells = [c for c in cells if c.name in set(args.cells)]
     policy = NpzPolicy(args.load_model)
-    results = run_matrix(policy, cfg, cells, out_path=args.out or None)
+    results = run_matrix(policy, cfg, cells, out_path=args.out or None,
+                         iteration=args.iteration)
     return 0 if all(r["passed"] for r in results) else 1
 
 

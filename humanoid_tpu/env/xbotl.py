@@ -270,11 +270,23 @@ class XBotLEnv:
             else:
                 import logging
 
+                extra = ""
+                if self.contact_model == "pgs" and (
+                    cfg.sim.pgs_freeze_prep or cfg.sim.pgs_warm_start
+                ):
+                    # ADVICE r4 #2: these PGSParams flags are implemented
+                    # only inside the fused kernel; the XLA fallback
+                    # always does per-substep prep with a cold start
+                    extra = (
+                        " NOTE: pgs_freeze_prep/pgs_warm_start are "
+                        "kernel-only and are ignored on this fallback "
+                        "(per-substep prep, cold start)."
+                    )
                 logging.getLogger(__name__).warning(
                     "fused Pallas control-step kernel DISABLED (%s); "
                     "falling back to the ~10x slower XLA physics path. "
                     "Use a TPU backend and a num_envs multiple of 128 "
-                    "(e.g. 4096) for full throughput.", reason,
+                    "(e.g. 4096) for full throughput.%s", reason, extra,
                 )
         self.smooth_idx = (
             self.reward_names.index("action_smoothness")
@@ -411,6 +423,33 @@ class XBotLEnv:
             wyaw = jax.random.uniform(
                 k3, (n,), minval=r.ang_vel_yaw[0], maxval=r.ang_vel_yaw[1]
             )
+        if cfg.axis_frac > 0.0:
+            # deployment-envelope practice (CommandsCfg.axis_frac): project
+            # a fraction of samples onto a pure axis — vx-only or vy-only,
+            # 50/50 — so the gate matrix's axis-pure cells (backward,
+            # lateral_left/right) are trained at constant density instead
+            # of only when the box sample happens to graze an axis. The
+            # kept component's magnitude is stretched into [0.2, range] so
+            # the small-command zero-out below cannot turn the axis sample
+            # into yet another stand command.
+            ka, kb = jax.random.split(jax.random.fold_in(key, 1))
+            on_axis = jax.random.uniform(ka, (n,)) < cfg.axis_frac
+            sagittal = jax.random.bernoulli(kb, 0.5, (n,))
+
+            def _stretch(v, lo, hi):
+                side = jnp.where(v >= 0, hi, -lo)
+                m = 0.2 + jnp.abs(v) / jnp.maximum(side, 1e-6) \
+                    * jnp.maximum(side - 0.2, 0.0)
+                return jnp.sign(v) * m
+
+            vx = jnp.where(
+                on_axis & ~sagittal, 0.0,
+                jnp.where(on_axis, _stretch(vx, r.lin_vel_x[0],
+                                            r.lin_vel_x[1]), vx))
+            vy = jnp.where(
+                on_axis & sagittal, 0.0,
+                jnp.where(on_axis, _stretch(vy, r.lin_vel_y[0],
+                                            r.lin_vel_y[1]), vy))
         cmds = jnp.stack([vx, vy, wyaw, heading], axis=-1)
         # zero-out small commands (humanoid_env.py:1034)
         keep = jnp.linalg.norm(cmds[:, 0:2], axis=1) > 0.2

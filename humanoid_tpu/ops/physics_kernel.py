@@ -876,11 +876,13 @@ def _control_kernel(
         # vectors (None entries are compile-time structural zeros)
         loop_chol = _crba_chol(S0, I0, mk, one)
         if mk.get("pgs") is not None and mk["pgs"].get("freeze_prep"):
-            # OPT-IN (SimCfg.pgs_freeze_prep): freeze the PGS contact
-            # frames/Jacobians/Delassus with the mass matrix (same
-            # entry-configuration approximation); penetrations/bias/
-            # velocities stay per-substep. Faster but measured
-            # transfer-breaking — see SimCfg for the A/B record.
+            # SHIPPING default (SimCfg.pgs_freeze_prep): freeze the PGS
+            # contact frames/Jacobians/Delassus with the mass matrix
+            # (same entry-configuration approximation); penetrations/
+            # bias/velocities stay per-substep. Validated GREEN end-to-
+            # end (flagship_freeze8: 26/26 gate + 8/9 matrix); the
+            # companion warm-start below is the ingredient that broke
+            # transfer — see SimCfg for the A/B record.
             loop_prep = _pgs_prepare(
                 pos0, quat0, anchors0, w_ax0, loop_chol[0], loop_chol[1],
                 mk, one, planes=planes,

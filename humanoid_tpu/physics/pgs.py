@@ -46,7 +46,11 @@ class PGSParams(NamedTuple):
     cfm_ratio: float = 0.01
     slop: float = 0.0
     # in-kernel speed/accuracy trades (see SimCfg.pgs_freeze_prep /
-    # pgs_warm_start for why both default OFF)
+    # pgs_warm_start; freeze_prep ships on registered tasks, warm_start
+    # is the measured transfer-breaker and stays OFF). KERNEL-ONLY: the
+    # XLA fallback path (engine.substep_batch_pgs) always does per-
+    # substep prep with a cold start — on non-TPU backends these flags
+    # are no-ops (engine.py emits a warning when they are set).
     freeze_prep: bool = False
     warm_start: bool = False
 

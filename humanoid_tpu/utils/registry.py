@@ -336,6 +336,49 @@ def _register_builtin():
         ),
         XBotLCfgPPO(),
     )
+    # round-5 deployment-envelope recipe (VERDICT r4 next #1): the omni
+    # recipe with (a) on-axis command practice (axis_frac=0.25 — the gate
+    # matrix's backward/lateral cells are axis-pure, a box sample almost
+    # never is), (b) the joystick's full vx envelope (0.8 m/s,
+    # joystick.py:28-157 vs omni's 0.6), (c) tracking_sigma 12 + the
+    # mirror-symmetry loss (the omni_sym ingredients, moved into the
+    # registered task). Diagnosis behind (a): the chiral lateral failure
+    # is ~0.03 m/s of ORACLE asymmetry (the reference MJCF's 55 g
+    # left/right ankle mass delta, tests/test_symmetry.py oracle audit)
+    # on top of lateral tracking sitting AT the bar — the recipe needs
+    # margin, i.e. on-axis practice density.
+    from ..config.structs import AlgorithmCfg
+
+    register(
+        "humanoid_ppo_envelope",
+        XBotLEnv,
+        XBotLCfg(
+            sim=_pgs,
+            domain_rand=DomainRandCfg(
+                randomize_link_mass=True,
+                randomize_base_com=True,
+                randomize_inertia=True,
+                randomize_motor_strength=True,
+                randomize_motor_offset=True,
+                randomize_kp_factor=True,
+                randomize_kd_factor=True,
+                randomize_lag_timesteps=True,
+            ),
+            commands=_Cmds(
+                axis_frac=0.25,
+                ranges=CommandRangesCfg(
+                    lin_vel_x=(-0.5, 0.8), lin_vel_y=(-0.4, 0.4),
+                ),
+            ),
+            rewards=RewardsCfg(
+                low_speed_lo=0.7, tracking_sigma=12.0,
+                scales=RewardScalesCfg(tracking_lin_vel=2.4),
+            ),
+        ),
+        XBotLCfgPPO(
+            algorithm=AlgorithmCfg(sym_loss=True, sym_coef=1.0)
+        ),
+    )
     # BASELINE.json config 4: 8192 envs with observation noise and the
     # per-checkpoint sim2sim gate. Obs noise is already on in the default
     # config (NoiseCfg.add_noise=True, matching the reference), so the only

@@ -33,7 +33,8 @@ def run_one(tag: str, task: str, iters: int, train_mut=None,
             gate_s: float | None = None, seed: int | None = None,
             defer_gate: bool = False, env_mut=None,
             terrain_gate: bool = False, terrain_cmd=(0.5, 0.0, 0.0),
-            matrix: bool = False, gate_argv: tuple = ()):
+            matrix: bool = False, gate_argv: tuple = (),
+            matrix_ckpts: tuple = (), matrix_argv: tuple = ()):
     """Train one run. Returns (summary, finish) where finish() drains the
     eval gate (if any) and writes the final summary/artifacts. With
     defer_gate the caller invokes finish() later, so CPU MuJoCo replays
@@ -146,35 +147,77 @@ def run_one(tag: str, task: str, iters: int, train_mut=None,
             gate_t.wait_all(timeout=7200)
         out_dir = os.path.join(VAL_ROOT, tag)
         os.makedirs(out_dir, exist_ok=True)
-        if matrix:
-            # command-matrix + push-recovery gate on the FINAL checkpoint
-            # (VERDICT r3 next #4; per-cell verdicts committed)
+        if matrix or matrix_ckpts:
+            # command-matrix + push-recovery gate. Default: FINAL
+            # checkpoint only (VERDICT r3 next #4). matrix_ckpts: also on
+            # those earlier checkpoints, rows tagged with --iteration, to
+            # establish CHECKPOINT STABILITY (VERDICT r4 next #1: 9/9 on
+            # >=2 consecutive checkpoints). Two replays run concurrently
+            # (this host has 2 cores).
             import subprocess
             import sys as _sys
 
-            npz = os.path.join(runner.log_dir, f"gate_policy_{iters}.npz")
-            if not os.path.exists(npz):
-                from humanoid_tpu.deploy.export import export_policy_npz
+            its = sorted(set(list(matrix_ckpts) + [iters]))
+            jobs = []
+            for it in its:
+                npz = os.path.join(runner.log_dir, f"gate_policy_{it}.npz")
+                if not os.path.exists(npz):
+                    if it != iters:
+                        print(f"[{tag}] matrix ckpt {it}: no npz, skipped",
+                              flush=True)
+                        continue
+                    from humanoid_tpu.deploy.export import export_policy_npz
 
-                export_policy_npz(runner.train_state.params, npz)
+                    export_policy_npz(runner.train_state.params, npz)
+                jobs.append((it, npz))
             menv = dict(os.environ)
             menv["PALLAS_AXON_POOL_IPS"] = ""
             menv["JAX_PLATFORMS"] = "cpu"
             mj = os.path.join(runner.log_dir, "gate_matrix.jsonl")
-            r = subprocess.run(
-                [_sys.executable, "-m", "humanoid_tpu.deploy.gate_matrix",
-                 "--load-model", npz, "--task", task, "--out", mj],
-                env=menv, cwd="/root/repo", capture_output=True, text=True,
-                timeout=3600,
-            )
-            print(r.stdout[-2000:], flush=True)
-            n_cells = n_pass_cells = 0
+            running = []
+
+            def _reap(block):
+                for i, (it, proc, part) in enumerate(list(running)):
+                    if block or proc.poll() is not None:
+                        out, _ = proc.communicate(timeout=3600)
+                        print(f"[{tag}] matrix @{it}:\n{out[-1200:]}",
+                              flush=True)
+                        if os.path.exists(part):
+                            with open(part) as f, open(mj, "a") as g:
+                                g.write(f.read())
+                            os.unlink(part)
+                        running.remove((it, proc, part))
+
+            for it, npz in jobs:
+                while len(running) >= 2:
+                    _reap(block=False)
+                    time.sleep(5)
+                part = mj + f".part{it}"
+                argv = [_sys.executable, "-m",
+                        "humanoid_tpu.deploy.gate_matrix",
+                        "--load-model", npz, "--task", task, "--out", part,
+                        "--iteration", str(it)] + list(matrix_argv)
+                running.append((it, subprocess.Popen(
+                    argv, env=menv, cwd="/root/repo",
+                    stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                    text=True), part))
+            while running:
+                _reap(block=True)
+            by_it = {}
             if os.path.exists(mj):
                 for line in open(mj):
-                    n_cells += 1
-                    n_pass_cells += bool(json.loads(line).get("passed"))
-            summary["matrix_cells_passed"] = n_pass_cells
-            summary["matrix_cells_total"] = n_cells
+                    r = json.loads(line)
+                    by_it.setdefault(r.get("iteration", iters), []).append(r)
+            last = by_it.get(iters, [])
+            summary["matrix_cells_passed"] = sum(
+                bool(r.get("passed")) for r in last)
+            summary["matrix_cells_total"] = len(last)
+            if len(by_it) > 1:
+                summary["matrix_by_iteration"] = {
+                    str(it): f"{sum(bool(r.get('passed')) for r in v)}"
+                             f"/{len(v)}"
+                    for it, v in sorted(by_it.items())
+                }
         for f in ("metrics.jsonl", "eval_gate.jsonl",
                   "eval_gate_terrain.jsonl", "gate_matrix.jsonl"):
             p = os.path.join(runner.log_dir, f)
@@ -348,6 +391,18 @@ def main() -> None:
         # model-gap scale) so the 18-dof gate crosses a model gap too
         ("d11_r4", "d11_ppo", full_iters, None, 60.0, None,
          dict(gate_argv=("--oracle-perturb", "0.1"))),
+        # --- round-5 rows ---
+        # deployment-envelope recipe (VERDICT r4 next #1): axis-pure
+        # command practice + 0.8 m/s vx envelope + sigma-12 tracking +
+        # sym loss, all IN the registered task. Matrix on the last four
+        # checkpoints (2800/2900/3000/3001) — the committed claim is 9/9
+        # on >=2 CONSECUTIVE checkpoints; --fast-cell additionally
+        # records the 0.8 m/s joystick-max stretch cell (10th row, not
+        # part of the 9-cell criterion).
+        ("envelope_r5", "humanoid_ppo_envelope", full_iters, None, 60.0,
+         None,
+         dict(matrix_ckpts=(2800, 2900, 3000),
+              matrix_argv=("--fast-cell",))),
     ]
     # rows whose checkpoints get the second (terrain-MJCF) verdict stream.
     # trimesh_pgs is NOT gated on terrain: its base generator set (stairs/
@@ -423,11 +478,15 @@ def _explore_levels(cfg):
 
 def _init_all_levels(cfg):
     """Spawn envs across ALL curriculum difficulty rows at init (the
-    reference caps at 5/10, legged_robot_config.py terrain defaults)."""
+    reference caps at 5/10, legged_robot_config.py terrain defaults).
+    Valid rows are 0..num_rows-1 = 0..9 and init draws
+    randint(0, max_init+1), so 9 covers every row (ADVICE r4 #3: 10
+    made ~1/11 of envs sample a nonexistent row that gather-clamps to
+    row 9, double-weighting it)."""
     import dataclasses as _dc
 
     return cfg.replace(
-        terrain=_dc.replace(cfg.terrain, max_init_terrain_level=10)
+        terrain=_dc.replace(cfg.terrain, max_init_terrain_level=9)
     )
 
 

@@ -304,3 +304,98 @@ def test_sym_task_registered():
 
     env_cfg, train_cfg = registry.get_cfgs("humanoid_ppo_sym")
     assert train_cfg.algorithm.sym_loss
+
+
+# ---------------------------------------------------------------------------
+# chirality isolation (VERDICT r4 next #1): WHERE does the lateral
+# left/right gate asymmetry come from?
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_training_plant_trajectory_mirror():
+    """The TRAINING plant is mirror-symmetric over a real trajectory:
+    driving the mirrored state with the mirrored action sequence keeps the
+    base trajectory an exact reflection for 40 control steps (400 physics
+    substeps, contact included). Together with the oracle audit below this
+    isolates the chiral gate failures: they cannot originate in our
+    physics/URDF/gait-phase conventions."""
+    env = XBotLEnv(_clean_cfg(sim_dt=0.001))
+    key = jax.random.PRNGKey(5)
+    state = env.initial_state(key)
+    spec = act_permutation(12)
+    m_state = _mirror_state(state, spec)
+    step = jax.jit(env.step)
+    rng = np.random.RandomState(2)
+    k = jax.random.PRNGKey(9)      # no stochastic features are on
+    for i in range(40):
+        a = jnp.asarray(0.25 * rng.randn(N_ENVS, 12).astype(np.float32))
+        a_m = jnp.asarray(_apply_perm(spec, np.asarray(a)))
+        state, out = step(state, a, k)
+        m_state, out_m = step(m_state, a_m, k)
+    assert not bool(out.reset.any()) and not bool(out_m.reset.any())
+    p = np.asarray(state.phys.base_pos)
+    p_m = np.asarray(m_state.phys.base_pos)
+    np.testing.assert_allclose(
+        p_m, p * np.array([1.0, -1.0, 1.0]), atol=1e-3
+    )
+    q = np.asarray(state.phys.qj)
+    q_m = np.asarray(m_state.phys.qj)
+    np.testing.assert_allclose(q_m, _apply_perm(spec, q), atol=1e-3)
+
+
+def test_oracle_mjcf_is_chirally_asymmetric():
+    """Document (and pin) the DEPLOYMENT plant's asymmetry: the reference
+    MJCF's merged ankle-pitch links differ left/right by ~55 g
+    (mujoco body_mass audit, scripts_dev/diag_chirality.py). This is the
+    measured source of the ~0.03 m/s lateral tracking chirality — the
+    mirrored policy pi_M(o) = M_act pi(M_obs o) reproduces pi's
+    lateral_right undertracking on this model, so the gate's chiral margin
+    is a property of the oracle, not of the training stack. A policy
+    must therefore clear the 0.7x bar with >=0.05x margin to pass both
+    lateral cells."""
+    mujoco = pytest.importorskip("mujoco")
+    from humanoid_tpu.assets import prepare_mujoco_xml
+
+    model = mujoco.MjModel.from_xml_path(prepare_mujoco_xml())
+    def mass(name):
+        b = mujoco.mj_name2id(model, mujoco.mjtObj.mjOBJ_BODY, name)
+        assert b >= 0, name
+        return float(model.body_mass[b])
+
+    d_ankle = mass("left_ankle_pitch_link") - mass("right_ankle_pitch_link")
+    assert 0.03 < abs(d_ankle) < 0.1, (
+        f"reference-MJCF ankle mass chirality changed: {d_ankle:+.4f} kg"
+    )
+
+
+def test_axis_frac_command_sampling():
+    """CommandsCfg.axis_frac projects ~frac of fresh commands onto a pure
+    axis (vx-only / vy-only, 50/50), leaving the rest untouched."""
+    cfg = _clean_cfg(sim_dt=0.001)
+    cfg = cfg.replace(
+        commands=dataclasses.replace(cfg.commands, axis_frac=0.5)
+    )
+    env = XBotLEnv(cfg)
+    cmds = np.asarray(
+        env._sample_commands(jax.random.PRNGKey(0), 4096)
+    )
+    vx0 = np.abs(cmds[:, 0]) < 1e-9
+    vy0 = np.abs(cmds[:, 1]) < 1e-9
+    stand = vx0 & vy0                      # small-norm zero-out
+    fx = float((vx0 & ~stand).mean())      # pure-lateral
+    fy = float((vy0 & ~stand).mean())      # pure-sagittal
+    # each branch is frac/2 = 25%; the kept component is stretched into
+    # [0.2, range] so the zero-out cannot reclaim axis samples
+    assert 0.18 < fx < 0.32, fx
+    assert 0.18 < fy < 0.32, fy
+    kept_vy = np.abs(cmds[vx0 & ~stand, 1])
+    assert kept_vy.min() >= 0.2 - 1e-6     # every axis sample really walks
+    # default (axis_frac=0) leaves the box sample untouched
+    env0 = XBotLEnv(_clean_cfg(sim_dt=0.001))
+    c0 = np.asarray(env0._sample_commands(jax.random.PRNGKey(0), 4096))
+    # only the small-norm zero-out produces zeros (disc r=0.2 covers ~23%
+    # of the default command box); no axis projection happens
+    z0 = np.abs(c0[:, 0]) < 1e-9
+    z1 = np.abs(c0[:, 1]) < 1e-9
+    assert float((z0 & ~z1).mean()) == 0.0   # no pure-lateral projection
+    assert float((z1 & ~z0).mean()) == 0.0   # no pure-sagittal projection
