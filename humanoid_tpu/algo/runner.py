@@ -44,6 +44,9 @@ class IterationMetrics(NamedTuple):
     # terrain game-curriculum progression (legged_robot.py:541-560):
     # mean difficulty row across envs at iteration end (0 on plane)
     terrain_level_mean: jnp.ndarray
+    # difficulty-occupancy histogram (VERDICT r4 next #2): fraction of
+    # envs on each difficulty row at iteration end ((10,); zeros on plane)
+    terrain_level_hist: jnp.ndarray
 
 
 class OnPolicyRunner:
@@ -266,6 +269,12 @@ class OnPolicyRunner:
             rew_terms_mean=jnp.mean(rew_terms, axis=0),
             terrain_level_mean=jnp.mean(
                 env_state.terrain_levels.astype(jnp.float32)
+            ),
+            terrain_level_hist=jnp.mean(
+                (env_state.terrain_levels[:, None]
+                 == jnp.arange(10, dtype=jnp.int32)[None, :])
+                .astype(jnp.float32),
+                axis=0,
             ),
         )
         new_carry = IterationCarry(

@@ -260,6 +260,10 @@ class RewardsCfg:
     # transfer-tuned task variants can demand tighter tracking)
     low_speed_lo: float = 0.5
     low_speed_hi: float = 1.2
+    # apply the low_speed band along the commanded xy DIRECTION instead of
+    # the reference's |vx|-only check — gives lateral/backward commands the
+    # same speed floor the gate judges them by (see env/rewards.low_speed)
+    low_speed_directional: bool = False
     # reward curriculum on action_smoothness: the runner multiplies the
     # env's course_gain by this every iteration, capped at 20
     # (legged_robot.py:84-85,241; on_policy_runner.py:160-162)
@@ -347,6 +351,23 @@ class TerrainCfg:
     # uniform random difficulty row instead of the reference's +-1 game
     # step (see env/xbotl.py terrain-curriculum block for the rationale)
     random_level_frac: float = 0.0
+    # curriculum verdict rule (round 5, VERDICT r4 next #2):
+    #   "displacement" — the reference's game logic (legged_robot.py:
+    #     541-560): promote on net displacement > terrain_length/2, demote
+    #     when displacement < half the commanded distance. Under heading
+    #     commands (resampled 3x/episode) net displacement rarely clears
+    #     the bar, so the population mean settles ~2/9 (measured:
+    #     validation/terrain_uneven, terrain_hard).
+    #   "tracking" — promote on a CLEAN TIMEOUT episode whose mean
+    #     velocity-tracking quality (episode tracking_lin_vel sum,
+    #     normalized to [0,1]) >= promote_quality; demote only on a FALL,
+    #     with probability demote_prob (demote-resistance). Direction
+    #     changes stop mattering; difficulty climbs until the local fall
+    #     rate balances the promotion rate, holding the population at its
+    #     competence frontier instead of the spawn row.
+    curriculum_mode: str = "displacement"
+    promote_quality: float = 0.55
+    demote_prob: float = 0.5
     # proportions — meaning depends on generator_set:
     #   "humanoid": [flat, discrete, rough, slope up, slope down,
     #                stairs up, stairs down, uneven]  (slot 8 "uneven" =

@@ -204,18 +204,38 @@ def feet_clearance(c: RewardContext):
 
 
 def low_speed(c: RewardContext):
-    speed = jnp.abs(c.base_lin_vel[:, 0])
-    cmd = jnp.abs(c.commands[:, 0])
+    if c.cfg.low_speed_directional:
+        # round-5 extension (RewardsCfg.low_speed_directional): the
+        # reference term polices only |vx| (humanoid_env.py:1393-1407),
+        # so lateral/backward commands have NO speed floor — measured as
+        # uniform ~0.67x undertracking of every 0.3 m/s non-forward gate
+        # cell (validation/envelope_r5). Project onto the commanded
+        # direction instead: the band check becomes exactly the
+        # deployment gate's v_along >= lo * ||cmd|| criterion, for every
+        # direction.
+        cmd_xy = c.commands[:, 0:2]
+        cmd = jnp.linalg.norm(cmd_xy, axis=1)
+        dirv = cmd_xy / jnp.maximum(cmd, 1e-6)[:, None]
+        signed = jnp.sum(c.base_lin_vel[:, 0:2] * dirv, axis=1)
+        speed = jnp.abs(signed)
+        mismatch = signed < 0.0
+        active = cmd > 0.1
+    else:
+        speed = jnp.abs(c.base_lin_vel[:, 0])
+        cmd = jnp.abs(c.commands[:, 0])
+        mismatch = (
+            jnp.sign(c.base_lin_vel[:, 0]) != jnp.sign(c.commands[:, 0])
+        )
+        active = cmd > 0.1
     too_low = speed < c.cfg.low_speed_lo * cmd
     too_high = speed > c.cfg.low_speed_hi * cmd
     desired = ~(too_low | too_high)
-    mismatch = jnp.sign(c.base_lin_vel[:, 0]) != jnp.sign(c.commands[:, 0])
     r = jnp.zeros_like(speed)
     r = jnp.where(too_low, -1.0, r)
     r = jnp.where(too_high, 0.0, r)
     r = jnp.where(desired, 1.2, r)
     r = jnp.where(mismatch, -2.0, r)
-    return r * (jnp.abs(c.commands[:, 0]) > 0.1)
+    return r * active
 
 
 def torques(c: RewardContext):

@@ -1042,15 +1042,40 @@ class XBotLEnv:
         env_origins = state.env_origins
         terrain_levels = state.terrain_levels
         if self.custom_origins and cfg.terrain.curriculum:
-            dist = jnp.linalg.norm(
-                phys.base_pos[:, 0:2] - env_origins[:, 0:2], axis=1
-            )
-            move_up = dist > self.terrain_world.terrain_length / 2
-            required = (
-                jnp.linalg.norm(commands[:, 0:2], axis=1)
-                * cfg.env.episode_length_s * 0.5
-            )
-            move_down = (dist < required) & (~move_up)
+            if cfg.terrain.curriculum_mode == "tracking":
+                # round-5 verdict rule (TerrainCfg.curriculum_mode): the
+                # displacement rule washes out under heading commands —
+                # promote instead on a clean-timeout episode with good
+                # mean tracking quality, demote (with resistance) only on
+                # a fall. q in [0,1]: episode tracking_lin_vel sum over
+                # its per-step maximum (scale already includes dt).
+                q = episode_sums[:, self.track_idx] / (
+                    jnp.maximum(episode_length, 1).astype(jnp.float32)
+                    * self.reward_scales[self.track_idx]
+                )
+                # stand episodes track a zero command perfectly — require
+                # the (final) command to be a walk command so standing
+                # still cannot ratchet difficulty up
+                moving = jnp.linalg.norm(commands[:, 0:2], axis=1) > 0.1
+                move_up = (
+                    time_out & moving & (q >= cfg.terrain.promote_quality)
+                )
+                k_dem, k_reset_q = jax.random.split(k_reset_q)
+                move_down = (
+                    (term & ~time_out)
+                    & (jax.random.uniform(k_dem, terrain_levels.shape)
+                       < cfg.terrain.demote_prob)
+                )
+            else:
+                dist = jnp.linalg.norm(
+                    phys.base_pos[:, 0:2] - env_origins[:, 0:2], axis=1
+                )
+                move_up = dist > self.terrain_world.terrain_length / 2
+                required = (
+                    jnp.linalg.norm(commands[:, 0:2], axis=1)
+                    * cfg.env.episode_length_s * 0.5
+                )
+                move_down = (dist < required) & (~move_up)
             new_levels = terrain_levels + move_up.astype(jnp.int32) - move_down.astype(jnp.int32)
             k_lvl, k_reset_q = jax.random.split(k_reset_q)
             rand_lvl = jax.random.randint(

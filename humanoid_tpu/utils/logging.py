@@ -83,6 +83,15 @@ class TrainLogger:
         if tl:
             # terrain game-curriculum progression (terrain tasks only)
             scalars["Train/terrain_level_mean"] = tl
+            hist = getattr(m, "terrain_level_hist", None)
+            if hist is not None:
+                # occupancy per difficulty row (VERDICT r4 next #2) —
+                # one scalar per row so the JSONL/tensorboard carry the
+                # full histogram
+                import numpy as _np
+
+                for i, frac in enumerate(_np.asarray(hist)):
+                    scalars[f"Train/terrain_level_occ_{i}"] = float(frac)
         rew_means = {}
         for name, v in zip(self.reward_names, m.ep_rew_sums):
             val = float(v) / ep_count / self.episode_length_s

@@ -403,6 +403,15 @@ def main() -> None:
          None,
          dict(matrix_ckpts=(2800, 2900, 3000),
               matrix_argv=("--fast-cell",))),
+        # envelope round 2: r5 passed forward_fast/turns/push but every
+        # 0.3 m/s cell undertracked uniformly at ~0.67x — the low_speed
+        # floor polices only |vx| in the reference semantics. r5b adds
+        # the directional low_speed band (low_speed_directional=True,
+        # scale 0.2 -> 0.4), now part of the registered envelope task.
+        ("envelope_r5b", "humanoid_ppo_envelope", full_iters, None, 60.0,
+         None,
+         dict(matrix_ckpts=(2800, 2900, 3000),
+              matrix_argv=("--fast-cell",))),
     ]
     # rows whose checkpoints get the second (terrain-MJCF) verdict stream.
     # trimesh_pgs is NOT gated on terrain: its base generator set (stairs/

@@ -304,6 +304,7 @@ def test_terrain_exploration_tier():
             terrain=dataclasses.replace(
                 cfg0.terrain, random_level_frac=frac,
                 max_init_terrain_level=1,   # all start at level 0
+                curriculum_mode="displacement",  # pin the game rule
             ),
         )
         env, _ = registry.make_env("humanoid_ppo_terrain", env_cfg=cfg0)
@@ -322,3 +323,68 @@ def test_terrain_exploration_tier():
     assert lv0.max() <= 1, lv0
     # full exploration tier: after 2 resets levels spread over all rows
     assert lv1.max() >= 6 and len(np.unique(lv1)) >= 4, lv1
+
+
+@pytest.mark.slow
+def test_terrain_tracking_curriculum():
+    """curriculum_mode="tracking" (round 5): clean-timeout episodes with
+    good tracking promote; stand commands cannot promote; falls demote
+    with demote_prob resistance. Verified through the real step path by
+    steering episode_sums/commands just before the reset."""
+    import dataclasses
+
+    from humanoid_tpu.utils import registry
+
+    cfg0, _ = registry.get_cfgs("humanoid_ppo_terrain")
+    cfg0 = cfg0.replace(
+        env=dataclasses.replace(
+            cfg0.env, num_envs=N, episode_length_s=0.05
+        ),  # 5-step episodes -> every env resets (by timeout) every 5 steps
+        sim=dataclasses.replace(cfg0.sim, contact_model="penalty"),
+        noise=dataclasses.replace(cfg0.noise, add_noise=False),
+        terrain=dataclasses.replace(
+            cfg0.terrain, random_level_frac=0.0,
+            max_init_terrain_level=0,     # all start at level 0
+            # (init draws randint(0, max_init+1))
+            curriculum_mode="tracking",
+            promote_quality=0.55, demote_prob=0.5,
+        ),
+    )
+    env, _ = registry.make_env("humanoid_ppo_terrain", env_cfg=cfg0)
+    step = jax.jit(env.step)
+    track = env.reward_names.index("tracking_lin_vel")
+    scale = env.reward_scales[track]
+
+    def run_epoch(s, key, q, walk):
+        """Force tracking quality q and command type just before each
+        timeout reset, then count level movement."""
+        for i in range(6):
+            key, ke = jax.random.split(key)
+            # steer the episode_sums/commands the curriculum will read
+            sums = s.episode_sums.at[:, track].set(
+                q * scale * (np.asarray(s.episode_length) + 1)
+            )
+            cmds = s.commands.at[:, 0].set(0.4 if walk else 0.0)
+            cmds = cmds.at[:, 1:3].set(0.0)
+            s = s._replace(episode_sums=sums, commands=cmds)
+            s, out = step(s, jnp.zeros((N, env.nj)), ke)
+        return s, key
+
+    # 1) walking with good tracking -> promote on every timeout
+    s = env.initial_state(jax.random.PRNGKey(0))
+    s, _ = run_epoch(s, jax.random.PRNGKey(1), q=0.9, walk=True)
+    lv_good = np.asarray(s.terrain_levels)
+    assert lv_good.mean() >= 0.9, lv_good.mean()
+
+    # 2) standing with perfect tracking -> NO promotion
+    s = env.initial_state(jax.random.PRNGKey(0))
+    s, _ = run_epoch(s, jax.random.PRNGKey(1), q=1.0, walk=False)
+    lv_stand = np.asarray(s.terrain_levels)
+    assert lv_stand.max() == 0, lv_stand.max()
+
+    # 3) walking with poor tracking -> no promotion (and no demotion:
+    # timeouts never demote in tracking mode)
+    s = env.initial_state(jax.random.PRNGKey(0))
+    s, _ = run_epoch(s, jax.random.PRNGKey(1), q=0.2, walk=True)
+    lv_poor = np.asarray(s.terrain_levels)
+    assert lv_poor.max() == 0, lv_poor.max()

@@ -172,3 +172,36 @@ def test_build_table_prunes_zero_scales():
     assert "termination" not in names and "stand_still" not in names
     assert len(names) == 22
     assert abs(dict(zip(names, scales))["joint_pos"] - 1.6 * 0.01) < 1e-9
+
+
+def test_low_speed_directional_cases():
+    """low_speed_directional (round 5): the band applies along the
+    commanded xy direction, so lateral/backward commands get the same
+    floor the deployment gate judges by."""
+    import dataclasses
+
+    rng = np.random.RandomState(1)
+    c, cfg = make_ctx(rng, N=6)
+    c = c._replace(
+        cfg=dataclasses.replace(c.cfg, low_speed_directional=True)
+    )
+    vel = np.zeros((6, 3))
+    cmd = np.zeros((6, 4))
+    vel[0, 1], cmd[0, 1] = 0.1, 0.3      # lateral too low -> -1
+    vel[1, 1], cmd[1, 1] = 0.5, 0.3      # lateral too high -> 0
+    vel[2, 1], cmd[2, 1] = -0.25, -0.3   # lateral right, desired -> 1.2
+    vel[3, 1], cmd[3, 1] = 0.2, -0.3     # wrong lateral side -> -2
+    vel[4, 0], cmd[4, 0] = -0.25, -0.3   # backward desired -> 1.2
+    vel[5, 1], cmd[5, 1] = 0.1, 0.05     # ||cmd|| < 0.1 -> 0
+    c = c._replace(base_lin_vel=jnp.array(vel), commands=jnp.array(cmd))
+    np.testing.assert_allclose(
+        np.array(R.low_speed(c)), [-1.0, 0.0, 1.2, -2.0, 1.2, 0.0],
+        atol=1e-6,
+    )
+    # default stays the reference's |vx|-only semantics: a pure lateral
+    # command is inactive
+    c0, _ = make_ctx(rng, N=1)
+    v = np.zeros((1, 3)); cm = np.zeros((1, 4))
+    v[0, 1], cm[0, 1] = 0.1, 0.3
+    c0 = c0._replace(base_lin_vel=jnp.array(v), commands=jnp.array(cm))
+    np.testing.assert_allclose(np.array(R.low_speed(c0)), [0.0], atol=1e-6)
