@@ -392,6 +392,13 @@ def main(argv=None):
                         "task (non-XBot12 robots replay in an MJCF "
                         "exported from the compiled model)")
     p.add_argument("--terrain", action="store_true")
+    p.add_argument("--hfield-oracle", dest="hfield_oracle", default="",
+                   metavar="KIND[:DIFF]",
+                   help="replay on a synthesized non-flat oracle: the "
+                        "reference terrain MJCF with its hfield replaced "
+                        "by one of OUR terrain primitives (stairs, "
+                        "discrete, gap, rough, uneven, ...) at the given "
+                        "difficulty (deploy/terrain_oracle.py)")
     p.add_argument("--oracle-perturb", dest="oracle_perturb", type=float,
                    default=0.0,
                    help="for exported-model oracles (non-xbot12 robots): "
@@ -435,6 +442,11 @@ def main(argv=None):
                 XBOT_MJCF_TERRAIN if args.terrain else XBOT_MJCF
             ),
         )
+    if args.hfield_oracle:
+        from .terrain_oracle import make_hfield_oracle, parse_oracle_spec
+
+        kind, diff = parse_oracle_spec(args.hfield_oracle)
+        cfg.mujoco_model_path = make_hfield_oracle(kind, diff)
     if args.native:
         from ..native.policy_native import NativePolicy
 

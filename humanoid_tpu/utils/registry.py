@@ -238,8 +238,19 @@ def _register_builtin():
                 generator_set="base",
                 terrain_proportions=(0.15, 0.15, 0.15, 0.15, 0.15,
                                      0.1, 0.1),
+                # round-5: same tracking-verdict curriculum as the
+                # heightfield task (the displacement rule washes out)
+                curriculum_mode="tracking",
+                random_level_frac=0.1,
             ),
             sim=_pgs,
+            # round-5 (VERDICT r4 next #5): the trimesh path now ships
+            # the same transfer recipe as the terrain task — extended DR
+            # + tracking-biased rewards. Round 4 trained it with default
+            # rewards/DR as a collision-semantics exerciser only (flat
+            # gate 20/26, tail reward 2.99).
+            domain_rand=_terrain_dr,
+            rewards=_terrain_rewards,
         ),
         XBotLCfgPPO(),
     )

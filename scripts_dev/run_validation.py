@@ -34,7 +34,8 @@ def run_one(tag: str, task: str, iters: int, train_mut=None,
             defer_gate: bool = False, env_mut=None,
             terrain_gate: bool = False, terrain_cmd=(0.5, 0.0, 0.0),
             matrix: bool = False, gate_argv: tuple = (),
-            matrix_ckpts: tuple = (), matrix_argv: tuple = ()):
+            matrix_ckpts: tuple = (), matrix_argv: tuple = (),
+            terrain_gate_argv: tuple = ("--terrain",)):
     """Train one run. Returns (summary, finish) where finish() drains the
     eval gate (if any) and writes the final summary/artifacts. With
     defer_gate the caller invokes finish() later, so CPU MuJoCo replays
@@ -73,7 +74,7 @@ def run_one(tag: str, task: str, iters: int, train_mut=None,
             # acceptance surface (VERDICT r3 next #1)
             gate_t = CheckpointEvalGate(
                 runner.log_dir, duration=gate_s, task=task,
-                max_concurrent=1, extra_argv=("--terrain",),
+                max_concurrent=1, extra_argv=tuple(terrain_gate_argv),
                 cmd=terrain_cmd,
                 jsonl_name="eval_gate_terrain.jsonl", export=False,
             )
@@ -412,6 +413,31 @@ def main() -> None:
          None,
          dict(matrix_ckpts=(2800, 2900, 3000),
               matrix_argv=("--fast-cell",))),
+        # terrain round 5 (VERDICT r4 next #2): the tracking-verdict
+        # curriculum + 10% exploration floor now live in the registered
+        # task; occupancy histogram recorded per iteration. Same dual
+        # gate as terrain_mix (flat 0.5 + terrain-MJCF 0.3).
+        ("terrain_track", "humanoid_ppo_terrain", 6000, _save200, 60.0,
+         None,
+         dict(terrain_gate=True, terrain_cmd=(0.3, 0.0, 0.0))),
+        # d12 first-ever training run (VERDICT r4 next #4): full 18-dof
+        # extended-feature workload, gated like d11_r4 (perturbed
+        # exported-model oracle) + the command/push matrix.
+        ("d12_r5", "d12_ppo", full_iters, None, 60.0, None,
+         dict(gate_argv=("--oracle-perturb", "0.1"), matrix=True)),
+        # d11 round 5: the envelope fixes applied to the 18-dof task
+        # (axis-pure practice + directional low-speed floor + sigma 12).
+        ("d11_r5", "d11_ppo", full_iters, None, 60.0, None,
+         dict(gate_argv=("--oracle-perturb", "0.1"), matrix=True,
+              env_mut=_envelope_fixes)),
+        # trimesh round 5 (VERDICT r4 next #5): transfer recipe now in
+        # the registered task; second verdict stream replays every
+        # checkpoint on a synthesized NON-FLAT oracle (discrete-obstacle
+        # course from our own generators, deploy/terrain_oracle.py).
+        ("trimesh_r5", "humanoid_ppo_trimesh", full_iters, None, 60.0,
+         None,
+         dict(terrain_gate=True, terrain_cmd=(0.3, 0.0, 0.0),
+              terrain_gate_argv=("--hfield-oracle", "discrete:0.5"))),
     ]
     # rows whose checkpoints get the second (terrain-MJCF) verdict stream.
     # trimesh_pgs is NOT gated on terrain: its base generator set (stairs/
@@ -496,6 +522,22 @@ def _init_all_levels(cfg):
 
     return cfg.replace(
         terrain=_dc.replace(cfg.terrain, max_init_terrain_level=9)
+    )
+
+
+def _envelope_fixes(cfg):
+    """The round-5 envelope ingredients on the 18-dof task: axis-pure
+    command practice, directional low-speed floor, sharper tracking."""
+    import dataclasses as _dc
+
+    return cfg.replace(
+        commands=_dc.replace(cfg.commands, axis_frac=0.25),
+        rewards=_dc.replace(
+            cfg.rewards, tracking_sigma=12.0, low_speed_lo=0.7,
+            low_speed_directional=True,
+            scales=_dc.replace(cfg.rewards.scales, tracking_lin_vel=2.4,
+                               low_speed=0.4),
+        ),
     )
 
 

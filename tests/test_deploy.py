@@ -296,3 +296,32 @@ def test_perturbed_oracle_mjcf():
     assert np.all(ratio >= 0.9 - 1e-9) and np.all(ratio <= 1.1 + 1e-9)
     assert np.abs(ratio - 1.0).max() > 0.05
     assert abs(mp.body_mass.sum() - mc.body_mass.sum()) > 0.1
+
+
+def test_hfield_oracle_build():
+    """terrain_oracle: the synthesized non-flat oracle loads in MuJoCo,
+    its elevation matches the raster range, and the sim2sim local-ground
+    lookup sees the central spawn platform (VERDICT r4 next #5)."""
+    mujoco = pytest.importorskip("mujoco")
+    from humanoid_tpu.deploy.sim2sim import _hfield_lookup
+    from humanoid_tpu.deploy.terrain_oracle import (
+        make_hfield_oracle,
+        parse_oracle_spec,
+    )
+
+    assert parse_oracle_spec("stairs:0.3") == ("stairs", 0.3)
+    assert parse_oracle_spec("discrete") == ("discrete", 0.4)
+
+    p = make_hfield_oracle("stairs", 0.3, size_m=12.0)
+    m = mujoco.MjModel.from_xml_path(p)
+    g = _hfield_lookup(m)
+    # center platform is the pyramid top: locally flat
+    z0 = g(0.0, 0.0)
+    assert abs(g(0.5, 0.5) - z0) < 1e-3
+    # the course actually descends toward the edge
+    assert z0 - g(5.5, 0.0) > 0.5
+    # step height ~ 0.05 + 0.18 * d
+    step = 0.05 + 0.18 * 0.3
+    profile = [g(x, 0.0) for x in np.arange(0.0, 5.8, 0.05)]
+    drops = np.diff(profile)
+    assert abs(min(drops)) < step  # bilinear ramps, no cliffs > 1 step
