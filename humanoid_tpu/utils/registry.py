@@ -198,8 +198,19 @@ def _register_builtin():
         randomize_kd_factor=True,
         randomize_lag_timesteps=True,
     )
+    # round-5: + the directional low-speed band and sigma-12 tracking —
+    # terrain_track's policies walked 0.35-0.5 m/s under the 0.3 m/s
+    # terrain-gate command (the |vx|-only band never penalizes overspeed
+    # beyond zeroing, and sigma-5 tracking is flat at +-0.15 m/s error),
+    # and that overspeed is what fell on the oracle's 0.28 m steps
+    # (falls at 6-9 s across every late checkpoint, eval_gate_terrain).
+    # The envelope A/B (envelope_r5 vs r5b) isolated these two
+    # ingredients as the precise-speed recipe: 0.53 at a 0.5 command,
+    # 0.80 at 0.8.
     _terrain_rewards = _Rw(
-        low_speed_lo=0.7, scales=_RwS(tracking_lin_vel=2.4)
+        low_speed_lo=0.7, tracking_sigma=12.0,
+        low_speed_directional=True,
+        scales=_RwS(tracking_lin_vel=2.4, low_speed=0.4),
     )
     register(
         "humanoid_ppo_terrain",

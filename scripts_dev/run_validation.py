@@ -270,7 +270,9 @@ def main() -> None:
     quick = "--quick" in sys.argv
     only = None
     if "--only" in sys.argv:
-        only = sys.argv[sys.argv.index("--only") + 1]
+        # comma-separated tags run sequentially with deferred gates, so
+        # one run's CPU MuJoCo replays overlap the next run's TPU training
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
     ab_iters = 50 if quick else 800
     full_iters = 50 if quick else 3001
 
@@ -420,6 +422,15 @@ def main() -> None:
         ("terrain_track", "humanoid_ppo_terrain", 6000, _save200, 60.0,
          None,
          dict(terrain_gate=True, terrain_cmd=(0.3, 0.0, 0.0))),
+        # terrain round 5b: terrain_track held difficulty (level mean 5.5,
+        # flat 28/28) but its policies overspeed the 0.3 m/s oracle
+        # command (0.35-0.5 m/s replays) and fall at 6-9 s — the same
+        # imprecise-speed failure the envelope A/B isolated. The terrain
+        # recipe now ships the directional low-speed band + sigma 12
+        # (registry _terrain_rewards).
+        ("terrain_track2", "humanoid_ppo_terrain", 6000, _save200, 60.0,
+         None,
+         dict(terrain_gate=True, terrain_cmd=(0.3, 0.0, 0.0))),
         # d12 first-ever training run (VERDICT r4 next #4): full 18-dof
         # extended-feature workload, gated like d11_r4 (perturbed
         # exported-model oracle) + the command/push matrix.
@@ -450,7 +461,7 @@ def main() -> None:
     for row in agenda:
         tag, task, iters, mut, gate_s, seed = row[:6]
         kw = dict(row[6]) if len(row) > 6 else {}
-        if only and tag != only:
+        if only and tag not in only:
             continue
         kw.setdefault("terrain_gate", tag in terrain_rows)
         _, finish = run_one(tag, task, iters, mut, gate_s, seed=seed,
