@@ -264,6 +264,13 @@ class RewardsCfg:
     # the reference's |vx|-only check — gives lateral/backward commands the
     # same speed floor the gate judges them by (see env/rewards.low_speed)
     low_speed_directional: bool = False
+    # reward value for the too_high (overspeed) branch of the band. The
+    # reference shape is 0 (overspeed merely forfeits the bonus) — enough
+    # on flat ground, but on hard terrain overspeed is survival-optimal
+    # (momentum over obstacles) and free, so terrain policies converged to
+    # 0.5 m/s under a 0.3 m/s command (validation/terrain_track2). Set
+    # negative (e.g. -1.0) to make overspeed strictly worse than the band.
+    low_speed_overspeed_r: float = 0.0
     # reward curriculum on action_smoothness: the runner multiplies the
     # env's course_gain by this every iteration, capped at 20
     # (legged_robot.py:84-85,241; on_policy_runner.py:160-162)

@@ -232,7 +232,7 @@ def low_speed(c: RewardContext):
     desired = ~(too_low | too_high)
     r = jnp.zeros_like(speed)
     r = jnp.where(too_low, -1.0, r)
-    r = jnp.where(too_high, 0.0, r)
+    r = jnp.where(too_high, c.cfg.low_speed_overspeed_r, r)
     r = jnp.where(desired, 1.2, r)
     r = jnp.where(mismatch, -2.0, r)
     return r * active

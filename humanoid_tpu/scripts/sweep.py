@@ -149,8 +149,15 @@ def main(argv=None):
         if gate is not None:
             gate.wait_all()
         logger.close()
+        # always export the point's final actor for downstream judges
+        # (e.g. targeted gate-matrix cells over the sweep grid)
+        from ..deploy.export import export_policy_npz
+
+        final_npz = os.path.join(runner.log_dir, "policy_final.npz")
+        export_policy_npz(runner.train_state.params, final_npz)
         rec = {
             "host": pid, "point": point, "run_dir": runner.log_dir,
+            "policy": final_npz,
             "iterations": args.max_iterations,
             "wall_s": round(time.time() - t0, 1),
             "mean_reward": last.get("Train/mean_reward"),

@@ -431,6 +431,16 @@ def main() -> None:
         ("terrain_track2", "humanoid_ppo_terrain", 6000, _save200, 60.0,
          None,
          dict(terrain_gate=True, terrain_cmd=(0.3, 0.0, 0.0))),
+        # terrain round 5c: track2 still overspeeds (0.5 m/s replays,
+        # in-sim low_speed mean ~0 = mostly in the free too_high branch) —
+        # on hard terrain momentum is survival-optimal, so overspeed must
+        # be strictly penalized and the curriculum must not promote past
+        # the precision frontier: too_high r = -1 and promote_quality
+        # 0.55 -> 0.7.
+        ("terrain_track3", "humanoid_ppo_terrain", 6000, _save200, 60.0,
+         None,
+         dict(terrain_gate=True, terrain_cmd=(0.3, 0.0, 0.0),
+              env_mut=_precise_terrain)),
         # d12 first-ever training run (VERDICT r4 next #4): full 18-dof
         # extended-feature workload, gated like d11_r4 (perturbed
         # exported-model oracle) + the command/push matrix.
@@ -549,6 +559,16 @@ def _envelope_fixes(cfg):
             scales=_dc.replace(cfg.rewards.scales, tracking_lin_vel=2.4,
                                low_speed=0.4),
         ),
+    )
+
+
+def _precise_terrain(cfg):
+    """Overspeed strictly penalized + stricter promotion bar."""
+    import dataclasses as _dc
+
+    return cfg.replace(
+        rewards=_dc.replace(cfg.rewards, low_speed_overspeed_r=-1.0),
+        terrain=_dc.replace(cfg.terrain, promote_quality=0.7),
     )
 
 

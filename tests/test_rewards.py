@@ -205,3 +205,20 @@ def test_low_speed_directional_cases():
     v[0, 1], cm[0, 1] = 0.1, 0.3
     c0 = c0._replace(base_lin_vel=jnp.array(v), commands=jnp.array(cm))
     np.testing.assert_allclose(np.array(R.low_speed(c0)), [0.0], atol=1e-6)
+
+
+def test_low_speed_overspeed_penalty():
+    """low_speed_overspeed_r: the too_high branch's value is configurable
+    (0 = reference shape; negative makes overspeed strictly bad)."""
+    import dataclasses
+
+    rng = np.random.RandomState(3)
+    c, _ = make_ctx(rng, N=1)
+    c = c._replace(
+        cfg=dataclasses.replace(c.cfg, low_speed_directional=True,
+                                low_speed_overspeed_r=-1.0)
+    )
+    v = np.zeros((1, 3)); cm = np.zeros((1, 4))
+    v[0, 0], cm[0, 0] = 0.5, 0.3     # 1.67x overspeed
+    c = c._replace(base_lin_vel=jnp.array(v), commands=jnp.array(cm))
+    np.testing.assert_allclose(np.array(R.low_speed(c)), [-1.0], atol=1e-6)
