@@ -959,6 +959,21 @@ class XBotLEnv:
 
         # ---- 4. termination (humanoid_env.py:811-816) ----
         term = jnp.any(diag.term_force > cfg.asset.termination_force, axis=1)
+        # failure detection: a physics blow-up (NaN/Inf state — the same
+        # class of event the reference's own MUJOCO_LOG.TXT records for
+        # PhysX/MuJoCo) would otherwise NEVER terminate, because every
+        # NaN comparison is False; worse, one env's NaN reward reaches
+        # the global advantage normalization and zeroes out the whole
+        # run's parameters. Detect it, reset the env, and zero its
+        # reward row (measured live: trimesh + extended-DR round-5 run
+        # NaN'd at iteration 350 and trained dead for 2,650 more).
+        bad = ~(
+            jnp.all(jnp.isfinite(phys.base_pos), axis=1)
+            & jnp.all(jnp.isfinite(phys.base_quat), axis=1)
+            & jnp.all(jnp.isfinite(phys.qj), axis=1)
+            & jnp.all(jnp.isfinite(phys.u), axis=1)
+        )
+        term = term | bad
         time_out = episode_length > self.max_episode_length
         reset_buf = term | time_out
 
@@ -1029,6 +1044,10 @@ class XBotLEnv:
             rew_terms = rew_terms.at[:, self.smooth_idx].multiply(
                 state.course_gain
             )
+        # blown-up envs (see `bad` above) produce NaN reward terms from
+        # their NaN state; zero the whole row so neither episode_sums nor
+        # the PPO batch (global advantage normalization!) is contaminated
+        rew_terms = jnp.where(bad[:, None], 0.0, rew_terms)
         rew = jnp.sum(rew_terms, axis=1)
         if cfg.rewards.only_positive_rewards:
             rew = jnp.maximum(rew, 0.0)

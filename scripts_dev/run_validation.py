@@ -459,6 +459,16 @@ def main() -> None:
          None,
          dict(terrain_gate=True, terrain_cmd=(0.3, 0.0, 0.0),
               terrain_gate_argv=("--hfield-oracle", "discrete:0.5"))),
+        # trimesh round 5b: trimesh_r5 hit a physics blow-up at iter 350
+        # (NaN state never terminates — NaN comparisons are False — and
+        # one NaN reward reaches the global advantage normalization,
+        # killing the run). The env now detects non-finite states,
+        # resets them, and zeroes their reward row (tests/test_env.py::
+        # test_nan_state_detected_and_reset); rerun of the same recipe.
+        ("trimesh_r5b", "humanoid_ppo_trimesh", full_iters, None, 60.0,
+         None,
+         dict(terrain_gate=True, terrain_cmd=(0.3, 0.0, 0.0),
+              terrain_gate_argv=("--hfield-oracle", "discrete:0.5"))),
     ]
     # rows whose checkpoints get the second (terrain-MJCF) verdict stream.
     # trimesh_pgs is NOT gated on terrain: its base generator set (stairs/
