@@ -451,6 +451,18 @@ def main() -> None:
         ("d11_r5", "d11_ppo", full_iters, None, 60.0, None,
          dict(gate_argv=("--oracle-perturb", "0.1"), matrix=True,
               env_mut=_envelope_fixes)),
+        # d11/d12 round 5b: r5's remaining matrix failures are FALLS on
+        # axis-pure backward/lateral commands (not undertracking) — the
+        # same edge-of-the-training-box fragility the 12-dof omni recipe
+        # fixed by widening the command box so the matrix commands are
+        # interior. + the envelope fixes, 4500 iters, matrix on the last
+        # two checkpoints for stability.
+        ("d11_r5b", "d11_ppo", 4500, None, 60.0, None,
+         dict(gate_argv=("--oracle-perturb", "0.1"),
+              matrix_ckpts=(4300, 4400), env_mut=_envelope_omni)),
+        ("d12_r5b", "d12_ppo", 4500, None, 60.0, None,
+         dict(gate_argv=("--oracle-perturb", "0.1"),
+              matrix_ckpts=(4300, 4400), env_mut=_envelope_omni)),
         # trimesh round 5 (VERDICT r4 next #5): transfer recipe now in
         # the registered task; second verdict stream replays every
         # checkpoint on a synthesized NON-FLAT oracle (discrete-obstacle
@@ -569,6 +581,21 @@ def _envelope_fixes(cfg):
             scales=_dc.replace(cfg.rewards.scales, tracking_lin_vel=2.4,
                                low_speed=0.4),
         ),
+    )
+
+
+def _envelope_omni(cfg):
+    """Envelope fixes + the omni command box (matrix commands interior)."""
+    import dataclasses as _dc
+
+    cfg = _envelope_fixes(cfg)
+    return cfg.replace(
+        commands=_dc.replace(
+            cfg.commands,
+            ranges=_dc.replace(cfg.commands.ranges,
+                               lin_vel_x=(-0.5, 0.6),
+                               lin_vel_y=(-0.4, 0.4)),
+        )
     )
 
 
