@@ -383,6 +383,11 @@ class TerrainCfg:
     #   "base":     [smooth slope, rough slope, stairs up, stairs down,
     #                discrete, stepping stones, gap; remainder = pit]
     terrain_proportions: Tuple[float, ...] = _t(0.2, 0.2, 0.4, 0.1, 0.1, 0, 0)
+    # per-difficulty amplitude of the "uneven" slot (±amplitude·d at ~1 m
+    # lattice). 0.2 reaches the deployment oracle's ±0.175 m only at the
+    # top row; 0.35 puts the oracle's intensity at MID difficulty so the
+    # population trains at/above it (round-5 terrain_track4)
+    uneven_amplitude: float = 0.2
     slope_treshold: float = 0.75
     env_spacing: float = 3.0        # plane grid spacing
 

@@ -183,7 +183,7 @@ def humanoid_make_terrain(cfg: TerrainCfg, choice: float, difficulty: float,
     obstacle_h = difficulty * 0.04
     r_height = difficulty * 0.07
     h_slope = difficulty * 0.15
-    u_height = difficulty * 0.2
+    u_height = difficulty * cfg.uneven_amplitude
     if choice < props[0]:
         pass  # flat
     elif len(props) > 1 and choice < props[1]:
@@ -273,7 +273,8 @@ def selected_make_terrain(cfg: TerrainCfg, name: str, difficulty: float,
     elif name == "uneven":
         # the deployment oracle's spectrum (uneven.png: ~1 m lattice,
         # 0.35 m range at full difficulty) — see humanoid_make_terrain
-        random_uniform_terrain(t, -0.2 * d, 0.2 * d, step=0.005,
+        random_uniform_terrain(t, -cfg.uneven_amplitude * d,
+                               cfg.uneven_amplitude * d, step=0.005,
                                downsampled_scale=1.0, rng=rng)
     else:
         raise ValueError(f"unknown selected terrain type {name!r}")

@@ -225,7 +225,8 @@ void base_cell(int16_t* c, int size_px, double hs, double vs, double choice,
 }
 
 void selected_cell(int16_t* c, int size_px, double hs, double vs,
-                   int selected, double d, uint64_t cs) {
+                   int selected, double d, uint64_t cs,
+                   double uneven_amplitude) {
     switch (selected) {
         case 0: break;  // flat
         case 1:
@@ -251,8 +252,8 @@ void selected_cell(int16_t* c, int size_px, double hs, double vs,
             // "uneven": the deployment oracle's spectrum (uneven.png —
             // ~1 m lattice, 0.35 m range at full difficulty); see the
             // NumPy humanoid_make_terrain docstring
-            ht_random_uniform(c, size_px, hs, vs, -0.2 * d, 0.2 * d,
-                              0.005, 1.0, cs);
+            ht_random_uniform(c, size_px, hs, vs, -uneven_amplitude * d,
+                              uneven_amplitude * d, 0.005, 1.0, cs);
             break;
         default: break;
     }
@@ -264,7 +265,8 @@ void ht_build_world(double* field, double* origins, int num_rows,
                     int num_cols, int size_px, int border_px, double hs,
                     double vs, double terrain_length,
                     const double* proportions, int n_props, int curriculum,
-                    int generator_set, int selected, uint64_t seed) {
+                    int generator_set, int selected, uint64_t seed,
+                    double uneven_amplitude) {
     int H = num_rows * size_px + 2 * border_px;
     int W = num_cols * size_px + 2 * border_px;
     std::memset(field, 0, sizeof(double) * (size_t)H * W);
@@ -298,7 +300,8 @@ void ht_build_world(double* field, double* origins, int num_rows,
             double h_slope = difficulty * 0.15;
             int16_t* c = cell.data();
             if (selected >= 0) {
-                selected_cell(c, size_px, hs, vs, selected, difficulty, cs);
+                selected_cell(c, size_px, hs, vs, selected, difficulty, cs,
+                              uneven_amplitude);
             } else if (generator_set == 1) {
                 base_cell(c, size_px, hs, vs, choice, difficulty, cum.data(),
                           n_props, cs);
@@ -319,9 +322,12 @@ void ht_build_world(double* field, double* origins, int num_rows,
             } else if (n_props > 6 && choice < cum[6]) {
                 ht_pyramid_stairs(c, size_px, hs, vs, 0.4, -obstacle_h, 1.0);
             } else if (n_props > 7 && choice < cum[7]) {
-                // "uneven" long-wavelength rough (oracle spectrum)
-                ht_random_uniform(c, size_px, hs, vs, -0.2 * difficulty,
-                                  0.2 * difficulty, 0.005, 1.0, cs);
+                // "uneven" long-wavelength rough (oracle spectrum;
+                // amplitude from TerrainCfg.uneven_amplitude)
+                ht_random_uniform(c, size_px, hs, vs,
+                                  -uneven_amplitude * difficulty,
+                                  uneven_amplitude * difficulty, 0.005,
+                                  1.0, cs);
             }
             int x0 = border_px + i * size_px;
             int y0 = border_px + j * size_px;

@@ -38,6 +38,7 @@ def _lib():
             ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
             ctypes.c_double, _c_double_p, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
+            ctypes.c_double,
         ]
         lib.ht_pyramid_slope.argtypes = [
             _c_int16_p, ctypes.c_int, ctypes.c_double, ctypes.c_double,
@@ -103,6 +104,7 @@ def build_terrain_native(cfg: TerrainCfg, seed: int = 0) -> TerrainWorld:
         props.ctypes.data_as(_c_double_p), len(props),
         1 if cfg.curriculum else 0,
         1 if cfg.generator_set == "base" else 0, selected, seed,
+        cfg.uneven_amplitude,
     )
     return TerrainWorld(
         height=field,

@@ -441,6 +441,16 @@ def main() -> None:
          None,
          dict(terrain_gate=True, terrain_cmd=(0.3, 0.0, 0.0),
               env_mut=_precise_terrain)),
+        # terrain round 5d: track3 improved 0/30 -> 7/30 but only ~2
+        # difficulty rows ever reach the oracle's +-0.175 m intensity
+        # (uneven amplitude 0.2*d). track4 puts the oracle's intensity at
+        # MID difficulty (amplitude 0.35) and makes the uneven slot 55%
+        # of cells, so most of the population trains on oracle-like and
+        # harder ground.
+        ("terrain_track4", "humanoid_ppo_terrain", 6000, _save200, 60.0,
+         None,
+         dict(terrain_gate=True, terrain_cmd=(0.3, 0.0, 0.0),
+              env_mut=_oracle_terrain)),
         # d12 first-ever training run (VERDICT r4 next #4): full 18-dof
         # extended-feature workload, gated like d11_r4 (perturbed
         # exported-model oracle) + the command/push matrix.
@@ -595,6 +605,21 @@ def _envelope_omni(cfg):
             ranges=_dc.replace(cfg.commands.ranges,
                                lin_vel_x=(-0.5, 0.6),
                                lin_vel_y=(-0.4, 0.4)),
+        )
+    )
+
+
+def _oracle_terrain(cfg):
+    """Precise-speed recipe + oracle-intensity uneven majority."""
+    import dataclasses as _dc
+
+    cfg = _precise_terrain(cfg)
+    return cfg.replace(
+        terrain=_dc.replace(
+            cfg.terrain,
+            uneven_amplitude=0.35,
+            terrain_proportions=(0.05, 0.1, 0.1, 0.05, 0.05,
+                                 0.05, 0.05, 0.55),
         )
     )
 
