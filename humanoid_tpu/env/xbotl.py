@@ -973,6 +973,15 @@ class XBotLEnv:
             & jnp.all(jnp.isfinite(phys.qj), axis=1)
             & jnp.all(jnp.isfinite(phys.u), axis=1)
         )
+        # also catch finite-but-absurd states (|qdot| beyond any physical
+        # joint speed / |u| beyond hundreds of m/s): they pass isfinite
+        # yet put 1e10-scale garbage into reward telemetry and, if they
+        # later overflow, produce the NaN a step late (measured:
+        # validation/trimesh_r5b logged a -1e11 episode reward term from
+        # such an env while the clipped training reward stayed sane)
+        bad = bad | (
+            jnp.max(jnp.abs(phys.u), axis=1) > 1e4
+        ) | (jnp.max(jnp.abs(phys.qj), axis=1) > 1e3)
         term = term | bad
         time_out = episode_length > self.max_episode_length
         reset_buf = term | time_out

@@ -415,6 +415,13 @@ def main() -> None:
          None,
          dict(matrix_ckpts=(2800, 2900, 3000),
               matrix_argv=("--fast-cell",))),
+        # round-5 perf candidate (VERDICT r4 next #3): shuffle granule 32
+        # (amortized profile: -2.1 ms/iter) + 6 cold PGS sweeps with the
+        # shipping frozen prep (-2.8 ms/iter). Gated end-to-end like any
+        # solver/trainer change — flips the shipping defaults only if
+        # 26/26 from 600 + matrix hold.
+        ("flagship_fast_r5", "humanoid_ppo", full_iters, _granule32, 60.0,
+         None, dict(matrix_ckpts=(2900, 3000), env_mut=_pgs6)),
         # terrain round 5 (VERDICT r4 next #2): the tracking-verdict
         # curriculum + 10% exploration floor now live in the registered
         # task; occupancy histogram recorded per iteration. Same dual
@@ -473,6 +480,12 @@ def main() -> None:
         ("d12_r5b", "d12_ppo", 4500, None, 60.0, None,
          dict(gate_argv=("--oracle-perturb", "0.1"),
               matrix_ckpts=(4300, 4400), env_mut=_envelope_omni)),
+        # d12 round 5c: d11_r5b showed the omni box destabilizes the
+        # 18-dof task late — d12_r5c instead mirrors the recipe that
+        # worked for d11_r5 (envelope fixes, stock command box, 3001).
+        ("d12_r5c", "d12_ppo", full_iters, None, 60.0, None,
+         dict(gate_argv=("--oracle-perturb", "0.1"),
+              matrix_ckpts=(2900, 3000), env_mut=_envelope_fixes)),
         # trimesh round 5 (VERDICT r4 next #5): transfer recipe now in
         # the registered task; second verdict stream replays every
         # checkpoint on a synthesized NON-FLAT oracle (discrete-obstacle
@@ -576,6 +589,20 @@ def _init_all_levels(cfg):
     return cfg.replace(
         terrain=_dc.replace(cfg.terrain, max_init_terrain_level=9)
     )
+
+
+def _granule32(t):
+    import dataclasses as _dc
+
+    return t.replace(
+        algorithm=_dc.replace(t.algorithm, shuffle_granule=32)
+    )
+
+
+def _pgs6(cfg):
+    import dataclasses as _dc
+
+    return cfg.replace(sim=_dc.replace(cfg.sim, pgs_iterations=6))
 
 
 def _envelope_fixes(cfg):

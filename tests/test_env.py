@@ -185,10 +185,13 @@ def test_nan_state_detected_and_reset(quiet_env):
     state, _ = step(state, jnp.zeros((N, 12)), jax.random.PRNGKey(1))
     u = state.phys.u.at[0, 3].set(jnp.nan)      # env 0 blows up
     qj = state.phys.qj.at[2, 5].set(jnp.inf)    # env 2 too (Inf)
+    # env 3: finite but physically absurd (passes isfinite, would put
+    # 1e10-scale garbage in reward telemetry before overflowing)
+    u = u.at[3, 4].set(1e6)
     state = state._replace(phys=state.phys._replace(u=u, qj=qj))
     state2, out = step(state, jnp.zeros((N, 12)), jax.random.PRNGKey(2))
     r = np.asarray(out.reset)
-    assert r[0] and r[2], "non-finite envs must reset"
+    assert r[0] and r[2] and r[3], "non-finite/absurd envs must reset"
     rew = np.asarray(out.rew)
     assert rew[0] == 0.0 and rew[2] == 0.0
     assert np.all(np.isfinite(rew))
