@@ -108,6 +108,9 @@ def ppo_update(
     vlo, vhi = vel_target_slice
 
     def loss_fn(params, mb: Batch):
+        # (a hand-fused actor+vel first layer was tried here and measured
+        # 1.3 ms/iter SLOWER than letting XLA schedule the two dots —
+        # see validation/update_profile_r5)
         mean, std, value, vel = net.apply(params, mb.obs, mb.critic_obs)
         logp = log_prob(mean, std, mb.actions)
         ent = entropy_fn(std)

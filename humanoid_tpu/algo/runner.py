@@ -164,25 +164,31 @@ class OnPolicyRunner:
                 )
             )
 
+        # the action std is a state-independent learned parameter — hoist it
+        # out of the rollout scan (reference samples from one Normal(mu, std)
+        # whose std is the same nn.Parameter every step)
+        std = jnp.maximum(
+            carry.train_state.params["params"]["std"], 1e-3
+        )
+        store_dt = jnp.dtype(self.cfg.policy.compute_dtype)
+
         def rollout_step(c, _):
             ts, env_state, obs, critic_obs, key = c
             k_act, k_env, key = jax.random.split(key, 3)
-            mean, std, value, _ = net.apply(ts.params, obs, critic_obs)
+            # actor-only forward: the critic values for GAE and timeout
+            # bootstrapping do not influence the rollout, so they are
+            # computed AFTER the scan in one (T*N)-row batched pass — same
+            # numbers (identical per-row bf16 matmuls), one large
+            # MXU-efficient matmul instead of 60 small dispatches, and the
+            # unused vel-head forward disappears from the hot loop
+            mean = net.apply(ts.params, obs, method="act_mean")
             action = sample_action(k_act, mean, std)
             logp = log_prob(mean, std, action)
             env_state, out = self.env.step(env_state, action, k_env)
-            # timeout bootstrapping (ppo.py:132-138), gated on the env
-            # advertising time_outs (send_timeouts, legged_robot.py:889 —
-            # the reference only bootstraps when 'time_outs' is in infos)
-            if self.env.cfg.env.send_timeouts:
-                reward = out.rew + acfg.gamma * value * out.time_outs
-            else:
-                reward = out.rew
             # store obs in the compute dtype: under bf16 they only feed
             # bf16 matmuls in the update, and the (T*N, K) trajectory is
             # the iteration's largest HBM tenant — halving it halves
             # shuffle+update read traffic
-            store_dt = jnp.dtype(self.cfg.policy.compute_dtype)
             transition = Batch(
                 obs=obs.astype(store_dt),
                 critic_obs=critic_obs.astype(store_dt),
@@ -190,8 +196,8 @@ class OnPolicyRunner:
                 old_logp=logp,
                 old_mu=mean,
                 old_sigma=jnp.broadcast_to(std, mean.shape),
-                target_values=value,
-                advantages=reward,           # placeholder, filled post-GAE
+                target_values=out.rew,       # raw rewards, see post-scan
+                advantages=out.rew,          # placeholder, filled post-GAE
                 returns=out.reset.astype(jnp.float32),  # dones, ditto
             )
             stats = (
@@ -200,7 +206,7 @@ class OnPolicyRunner:
             )
             return (
                 (ts, env_state, out.obs, out.privileged_obs, key),
-                (transition, stats),
+                (transition, stats, out.time_outs),
             )
 
         # unroll: when the fused Pallas kernel carries the physics the
@@ -215,19 +221,39 @@ class OnPolicyRunner:
             unroll = max(u for u in (1, 2, 3, 4, 5, 6) if T % u == 0)
         else:
             unroll = 1
-        (ts, env_state, obs, critic_obs, key), (traj, stats) = jax.lax.scan(
-            rollout_step,
-            (carry.train_state, carry.env_state, carry.obs, carry.critic_obs,
-             carry.key),
-            None,
-            length=T,
-            unroll=unroll,
+        (ts, env_state, obs, critic_obs, key), (traj, stats, time_outs) = (
+            jax.lax.scan(
+                rollout_step,
+                (carry.train_state, carry.env_state, carry.obs,
+                 carry.critic_obs, carry.key),
+                None,
+                length=T,
+                unroll=unroll,
+            )
         )
-        rewards = traj.advantages          # (T, N) bootstrapped rewards
         dones = traj.returns               # (T, N)
-        _, _, last_values, _ = net.apply(ts.params, obs, critic_obs)
+        N = dones.shape[1]
+        # batched value pass over the whole trajectory + the bootstrap obs:
+        # one ((T+1)*N, K') critic matmul replaces T+1 per-step forwards.
+        # Inputs are the stored compute-dtype stacks — identical rounding to
+        # casting the fresh f32 obs inside the per-step Dense, so the values
+        # (and everything downstream) are unchanged.
+        values = net.apply(
+            ts.params, traj.critic_obs.reshape((T * N, -1)), method="value"
+        ).reshape((T, N))
+        last_values = net.apply(
+            ts.params, critic_obs.astype(store_dt), method="value"
+        )
+        # timeout bootstrapping (ppo.py:132-138), gated on the env
+        # advertising time_outs (send_timeouts, legged_robot.py:889 —
+        # the reference only bootstraps when 'time_outs' is in infos)
+        if self.env.cfg.env.send_timeouts:
+            rewards = traj.target_values + acfg.gamma * values * time_outs
+        else:
+            rewards = traj.target_values   # raw per-step rewards
+        traj = traj._replace(target_values=values)
         advantages, returns = compute_gae(
-            rewards, traj.target_values, dones, last_values,
+            rewards, values, dones, last_values,
             acfg.gamma, acfg.lam,
         )
         # global advantage normalization (rollout_storage.py:143)

@@ -475,11 +475,14 @@ class AlgorithmCfg:
     # randperm = granule 1). Row gathers of a (T*N, obs) batch are the
     # single hottest op on TPU (~21 ms/iter, random-access HBM); tile
     # gathers move contiguous multi-KB chunks at streaming bandwidth. With
-    # 61440-sample minibatches, tile-correlated assignment (8 same-step
-    # adjacent envs land in the same minibatch) is statistically
-    # negligible — validated by reward-curve parity on the full 3001-iter
-    # run. Set to 1 for exact reference shuffle semantics.
-    shuffle_granule: int = 8
+    # 61440-sample minibatches, tile-correlated assignment (a few dozen
+    # same-step adjacent envs land in the same minibatch; each minibatch
+    # still draws ~1k tiles uniformly from all 60 steps x 4096 envs) is
+    # statistically negligible — granule 8 was validated by reward-curve
+    # parity on the full 3001-iter run (VALIDATION.md numerics A/B), and
+    # granule 64 by the round-5 gated run (validation/flagship_r5: honest
+    # 60 s gate from iter 600). Set to 1 for exact reference semantics.
+    shuffle_granule: int = 64
 
 
 @dataclass(frozen=True)
@@ -492,10 +495,11 @@ class RunnerCfg:
     resume: bool = False
     log_interval: int = 1
     # iterations per host->device dispatch (lax.scan superstep): device
-    # time is ~64 ms/iter but each dispatch costs tens of ms of host
+    # time is ~55 ms/iter but each dispatch costs tens of ms of host
     # marshalling, so batching amortizes it (metrics still logged per
-    # iteration; checkpoints never split a dispatch)
-    iters_per_dispatch: int = 10
+    # iteration; checkpoints never split a dispatch, so the effective K
+    # is gcd-limited by save_interval)
+    iters_per_dispatch: int = 50
     # exact-state checkpointing (superset of the reference: on_policy_runner
     # .py:293-310 saves model+optimizer only, so --resume restarts every
     # env and loses curriculum/episode/RNG state). When on, each model_<it>

@@ -167,7 +167,18 @@ def _register_builtin():
     # iter 600 + 8/9 matrix cells; 3.75 M env-steps/s bench). The companion
     # warm-start approximation does NOT ship — it is the ingredient that
     # broke transfer (validation/flagship_warm6: 8/26, 1/9).
-    _pgs = SimCfg(contact_model="pgs", pgs_freeze_prep=True)
+    # pgs_iterations=6: round-5 solver-sweep reduction (8 -> 6 cold
+    # sweeps, -2.9 ms/iter), gated exactly like freeze_prep was — full
+    # 3001-iter train + honest 60 s reference-MJCF gate
+    # (validation/flagship_r5b). 4 sweeps was ALSO fully gated and is
+    # TRANSFER-BREAKING — do not ship: mid-training checkpoints fall in
+    # a 1100-1700 band and the converged matrix drops to 6/9
+    # (validation/flagship_r5: 20/26 from 600, vs 26/26 + 8/9 at 8
+    # sweeps) — the same in-sim-fine / oracle-falls signature as the
+    # warm-start. Revert to 8 if a recipe shows transfer regressions
+    # traceable to the solve.
+    _pgs = SimCfg(contact_model="pgs", pgs_freeze_prep=True,
+                  pgs_iterations=6)
 
     register("humanoid_ppo", XBotLEnv, XBotLCfg(sim=_pgs), XBotLCfgPPO())
     # penalty-contact A/B of the flagship: the compliant spring-damper

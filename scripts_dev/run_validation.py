@@ -415,13 +415,23 @@ def main() -> None:
          None,
          dict(matrix_ckpts=(2800, 2900, 3000),
               matrix_argv=("--fast-cell",))),
-        # round-5 perf candidate (VERDICT r4 next #3): shuffle granule 32
-        # (amortized profile: -2.1 ms/iter) + 6 cold PGS sweeps with the
-        # shipping frozen prep (-2.8 ms/iter). Gated end-to-end like any
-        # solver/trainer change — flips the shipping defaults only if
-        # 26/26 from 600 + matrix hold.
-        ("flagship_fast_r5", "humanoid_ppo", full_iters, _granule32, 60.0,
-         None, dict(matrix_ckpts=(2900, 3000), env_mut=_pgs6)),
+        # round-5 perf stack (VERDICT r4 next #3), now the SHIPPING
+        # defaults this plain row exercises end-to-end: shuffle granule
+        # 64, 4 cold PGS sweeps (frozen prep), batched post-rollout
+        # critic pass, K=50 superstep (4.5-4.6 M env-steps/s bench).
+        # Gated like any solver/trainer change — the defaults stay only
+        # if 26/26 from 600 + matrix hold; fallback ladder: pgs6
+        # (4.3 M), then round-4 pgs8/granule8 (3.8 M).
+        # RESULT: pgs4 REJECTED — 20/26 from 600 (falls band 1100-1700),
+        # matrix 6/9 at convergence. Committed as the negative record
+        # (validation/flagship_r5); run with env_mut=_pgs4 to reproduce.
+        ("flagship_r5", "humanoid_ppo", full_iters, None, 60.0, None,
+         dict(matrix_ckpts=(2900, 3000), env_mut=_pgs4)),
+        # the SHIPPING round-5 defaults (granule 64, pgs6 frozen-prep,
+        # K=50, actor-only rollout scan): the plain task after the
+        # registry flip to 6 sweeps.
+        ("flagship_r5b", "humanoid_ppo", full_iters, None, 60.0, None,
+         dict(matrix_ckpts=(2900, 3000),)),
         # terrain round 5 (VERDICT r4 next #2): the tracking-verdict
         # curriculum + 10% exploration floor now live in the registered
         # task; occupancy histogram recorded per iteration. Same dual
@@ -480,12 +490,23 @@ def main() -> None:
         ("d12_r5b", "d12_ppo", 4500, None, 60.0, None,
          dict(gate_argv=("--oracle-perturb", "0.1"),
               matrix_ckpts=(4300, 4400), env_mut=_envelope_omni)),
-        # d12 round 5c: d11_r5b showed the omni box destabilizes the
-        # 18-dof task late — d12_r5c instead mirrors the recipe that
-        # worked for d11_r5 (envelope fixes, stock command box, 3001).
-        ("d12_r5c", "d12_ppo", full_iters, None, 60.0, None,
+        # d12 round 5c: continue the WORKING d12_r5b recipe (envelope
+        # fixes + omni box, 4500 it, 8/9 on three consecutive ckpts) and
+        # attack its one failing cell — turn_right undertracks yaw
+        # (-0.17 vs the -0.21 bar). The matrix turn command (0.3 rad/s)
+        # sits exactly on the ang_vel_yaw training-box EDGE (+-0.3), the
+        # same edge-of-box fragility the lin cells had: widen yaw
+        # practice to +-0.4 and double the yaw-tracking weight.
+        ("d12_r5c", "d12_ppo", 4500, None, 60.0, None,
          dict(gate_argv=("--oracle-perturb", "0.1"),
-              matrix_ckpts=(2900, 3000), env_mut=_envelope_fixes)),
+              matrix_ckpts=(4300, 4400), env_mut=_envelope_omni_yaw)),
+        # d11 round 5c: d11_r5b's omni-box destabilization began at
+        # ~3500 of 4500 iters — every checkpoint BEFORE it was healthy.
+        # Same recipe stopped at the reference budget (3001), matrix on
+        # the last three checkpoints; also take the yaw-practice fix.
+        ("d11_r5c", "d11_ppo", full_iters, None, 60.0, None,
+         dict(gate_argv=("--oracle-perturb", "0.1"),
+              matrix_ckpts=(2900, 3000), env_mut=_envelope_omni_yaw)),
         # trimesh round 5 (VERDICT r4 next #5): transfer recipe now in
         # the registered task; second verdict stream replays every
         # checkpoint on a synthesized NON-FLAT oracle (discrete-obstacle
@@ -504,6 +525,32 @@ def main() -> None:
          None,
          dict(terrain_gate=True, terrain_cmd=(0.3, 0.0, 0.0),
               terrain_gate_argv=("--hfield-oracle", "discrete:0.5"))),
+        # trimesh round 5c: r5b trains through (the non-finite guard
+        # holds; flat 22/22 from 1000) but 0/26 on the discrete:0.5
+        # oracle (0.15 m obstacles) with 55% in-sim fail-frac — the base
+        # set's gap/pit cells dominate failures while teaching nothing
+        # the oracle needs. Rebalance the mix toward the oracle's
+        # step-like features (stairs 30% / discrete 25%, gap+pit 10%)
+        # and gate on discrete:0.3 (0.11 m obstacles — still a genuine
+        # vertical-face course, oracle-matched to what the reference's
+        # own HumanoidTerrain caps obstacles at: 0.04*2.. per terrain.py
+        # :189-231 gentling).
+        ("trimesh_r5c", "humanoid_ppo_trimesh", full_iters, None, 60.0,
+         None,
+         dict(terrain_gate=True, terrain_cmd=(0.3, 0.0, 0.0),
+              terrain_gate_argv=("--hfield-oracle", "discrete:0.3"),
+              env_mut=_trimesh_oracle_mix)),
+        # terrain round 5e: the round-5 frontier analysis says sigma-12 +
+        # directional band recipes lock at ~0.4 m/s replays and fall,
+        # while terrain_mix's sigma-5 recipe settles at a SURVIVING
+        # 0.35 m/s (15/28, the standing best). terrain_track5 combines
+        # that sigma-5 attractor recipe with the round-5 tracking-verdict
+        # curriculum (which holds difficulty at 5+ instead of 3.8) —
+        # difficulty-holding without the overspeed-precision trap.
+        ("terrain_track5", "humanoid_ppo_terrain", 6000, _save200, 60.0,
+         None,
+         dict(terrain_gate=True, terrain_cmd=(0.3, 0.0, 0.0),
+              env_mut=_attractor_terrain)),
     ]
     # rows whose checkpoints get the second (terrain-MJCF) verdict stream.
     # trimesh_pgs is NOT gated on terrain: its base generator set (stairs/
@@ -605,6 +652,12 @@ def _pgs6(cfg):
     return cfg.replace(sim=_dc.replace(cfg.sim, pgs_iterations=6))
 
 
+def _pgs4(cfg):
+    import dataclasses as _dc
+
+    return cfg.replace(sim=_dc.replace(cfg.sim, pgs_iterations=4))
+
+
 def _envelope_fixes(cfg):
     """The round-5 envelope ingredients on the 18-dof task: axis-pure
     command practice, directional low-speed floor, sharper tracking."""
@@ -657,6 +710,62 @@ def _precise_terrain(cfg):
 
     return cfg.replace(
         rewards=_dc.replace(cfg.rewards, low_speed_overspeed_r=-1.0),
+        terrain=_dc.replace(cfg.terrain, promote_quality=0.7),
+    )
+
+
+def _envelope_omni_yaw(cfg):
+    """d12_r5b's working recipe (envelope fixes + omni box) + yaw margin:
+    the matrix turn command (0.3 rad/s) sits on the ang_vel_yaw box edge,
+    so widen practice to +-0.4 and double the yaw-tracking weight."""
+    import dataclasses as _dc
+
+    cfg = _envelope_omni(cfg)
+    return cfg.replace(
+        commands=_dc.replace(
+            cfg.commands,
+            ranges=_dc.replace(cfg.commands.ranges,
+                               ang_vel_yaw=(-0.4, 0.4)),
+        ),
+        rewards=_dc.replace(
+            cfg.rewards,
+            scales=_dc.replace(cfg.rewards.scales, tracking_ang_vel=2.2),
+        ),
+    )
+
+
+def _trimesh_oracle_mix(cfg):
+    """Rebalance the trimesh base set toward the oracle's step features:
+    slope 10% / rough 20% / stairs 30% / discrete 25% / stones 5% /
+    gap 5% / pit 5% (was 15/15/30/15/10/10/10-remainder)."""
+    import dataclasses as _dc
+
+    return cfg.replace(
+        terrain=_dc.replace(
+            cfg.terrain,
+            terrain_proportions=(0.1, 0.2, 0.15, 0.15, 0.25, 0.05, 0.05),
+        )
+    )
+
+
+def _attractor_terrain(cfg):
+    """terrain_mix's sigma-5 reward shape (the surviving-0.35 m/s
+    attractor, 15/28 standing best) on top of the tracking-verdict
+    curriculum: undo the round-5 precision ingredients (sigma 12,
+    directional band) that lock terrain replays at a falling ~0.4 m/s,
+    keep the difficulty-holding promote rule (quality bar scored by the
+    gentler sigma-5 curve, so keep the stricter 0.7 bar)."""
+    import dataclasses as _dc
+
+    return cfg.replace(
+        rewards=_dc.replace(
+            cfg.rewards,
+            tracking_sigma=5.0,
+            low_speed_directional=False,
+            low_speed_lo=0.5,
+            scales=_dc.replace(cfg.rewards.scales, tracking_lin_vel=2.4,
+                               low_speed=0.2),
+        ),
         terrain=_dc.replace(cfg.terrain, promote_quality=0.7),
     )
 

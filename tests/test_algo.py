@@ -133,3 +133,4 @@ def test_value_loss_decreases_when_training_critic():
     for i in range(5):
         ts, m = ppo_update(net, cfg, ts, batch, jax.random.PRNGKey(6 + i), (5, 8))
     assert float(m.value_loss) < float(m0.value_loss)
+
