@@ -478,11 +478,16 @@ class AlgorithmCfg:
     # 61440-sample minibatches, tile-correlated assignment (a few dozen
     # same-step adjacent envs land in the same minibatch; each minibatch
     # still draws ~1k tiles uniformly from all 60 steps x 4096 envs) is
-    # statistically negligible — granule 8 was validated by reward-curve
-    # parity on the full 3001-iter run (VALIDATION.md numerics A/B), and
-    # granule 64 by the round-5 gated run (validation/flagship_r5: honest
-    # 60 s gate from iter 600). Set to 1 for exact reference semantics.
-    shuffle_granule: int = 64
+    # statistically negligible AT granule 8 — validated by reward-curve
+    # parity on the full 3001-iter run (VALIDATION.md numerics A/B).
+    # Granule 64 (-3 ms/iter) was REJECTED by round-5 gated runs: with 64
+    # same-step envs per tile (960 tiles per minibatch, vs 7680 at 8)
+    # both full runs that used it developed a mid-training band of
+    # transfer-gate falls (validation/flagship_r5: 20/26 from 600 at
+    # pgs4; flagship_r5b: 22/26 at pgs6) never seen in the six clean
+    # granule-8 runs of rounds 3-4. Set to 1 for exact reference
+    # semantics (+19 ms/iter).
+    shuffle_granule: int = 8
 
 
 @dataclass(frozen=True)

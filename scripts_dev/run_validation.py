@@ -427,10 +427,18 @@ def main() -> None:
         # (validation/flagship_r5); run with env_mut=_pgs4 to reproduce.
         ("flagship_r5", "humanoid_ppo", full_iters, None, 60.0, None,
          dict(matrix_ckpts=(2900, 3000), env_mut=_pgs4)),
-        # the SHIPPING round-5 defaults (granule 64, pgs6 frozen-prep,
-        # K=50, actor-only rollout scan): the plain task after the
-        # registry flip to 6 sweeps.
-        ("flagship_r5b", "humanoid_ppo", full_iters, None, 60.0, None,
+        # RESULT: granule 64 + pgs6 ALSO rejected — 22/26 from 600
+        # (falls band 1100-2000), though late checkpoints walk 0.60 m/s.
+        # Together with flagship_r5 this convicts the 64-row shuffle
+        # granule (the shared ingredient; rounds 3-4 had six clean runs
+        # at granule 8). Reproduce with train_mut=_granule64.
+        ("flagship_r5b", "humanoid_ppo", full_iters, _granule64, 60.0,
+         None, dict(matrix_ckpts=(2900, 3000),)),
+        # the SHIPPING round-5 defaults (granule 8, pgs6 frozen-prep,
+        # K=50, actor-only rollout scan + batched value pass): the plain
+        # task after the registry flip to 6 sweeps — isolates the solver
+        # change from the rejected shuffle change.
+        ("flagship_r5c", "humanoid_ppo", full_iters, None, 60.0, None,
          dict(matrix_ckpts=(2900, 3000),)),
         # terrain round 5 (VERDICT r4 next #2): the tracking-verdict
         # curriculum + 10% exploration floor now live in the registered
@@ -643,6 +651,14 @@ def _granule32(t):
 
     return t.replace(
         algorithm=_dc.replace(t.algorithm, shuffle_granule=32)
+    )
+
+
+def _granule64(t):
+    import dataclasses as _dc
+
+    return t.replace(
+        algorithm=_dc.replace(t.algorithm, shuffle_granule=64)
     )
 
 
